@@ -1,0 +1,7 @@
+"""Simulation cases with the reference solvers' constants as defaults."""
+
+from cfd_tpu.cases.cavity import make_cavity_case
+from cfd_tpu.cases.channel import make_channel_case
+from cfd_tpu.cases.backwards_step import make_backwards_step_case
+
+__all__ = ["make_cavity_case", "make_channel_case", "make_backwards_step_case"]

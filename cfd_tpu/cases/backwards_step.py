@@ -1,0 +1,86 @@
+"""Backward-facing step case with internal solid geometry.
+
+Reference: BackwardsStepSolver (backwards_step-01.cpp:316-1061). Geometry:
+solid block occupying {i <= step_i_location and j > inlet_j_max}
+(backwards_step-01.cpp:499-520); everything else is the general masked
+machinery (face-validity masks, interface zeroing, solid-cell pressure
+extrapolation), so arbitrary rasterized solids work through Grid.masked.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_tpu.bc import step_bc, step_pressure_ghosts
+from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
+from cfd_tpu.ops.stencil import StencilCoeffs
+from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.sor import SORConfig, make_ghost_poisson
+from cfd_tpu.solver import Case
+
+
+def make_backwards_step_case(
+    nx: int = 256,
+    ny: int = 32,
+    length: float = 8.0,
+    height_inlet: float = 1.0,
+    height_total: float = 2.0,
+    step_location: float = 2.0,
+    reynolds_number: float = 100.0,
+    inlet_velocity: float = 1.0,
+    density: float = 1.0,
+    cfl: float = 0.2,
+    final_time: float = 15.0,
+    tolerance_factor: float = 1e-7,
+    abs_tol: float = 1e-10,
+    max_sor_iterations: int = 10000,
+    print_interval: int = 10,
+    save_interval: int = 10,
+    dt: float | None = None,
+    poisson_check_every: int = 1,
+    dtype=jnp.float64,
+) -> Case:
+    ensure_dtype_enabled(dtype)
+    dx = length / nx
+    dy = height_total / ny
+    step_i = int(step_location / dx)  # backwards_step-01.cpp:387
+    inlet_j_max = int(height_inlet / dy)  # backwards_step-01.cpp:493
+
+    # fluid raster (backwards_step-01.cpp:508-520): before the step only the
+    # lower (inlet) rows are fluid; after it, full height.
+    fluid = np.zeros((ny, nx), dtype=bool)
+    jj = np.arange(1, ny + 1)[:, None]
+    ii = np.arange(1, nx + 1)[None, :]
+    fluid[:, :] = np.where(ii <= step_i, jj <= inlet_j_max, True)
+
+    grid = Grid.masked(nx, ny, length, height_total, fluid)
+    viscosity = inlet_velocity * height_inlet / reynolds_number  # backwards_step-01.cpp:379
+    if dt is None:
+        dt = cfl_time_step(dx, dy, viscosity, inlet_velocity, cfl)
+    coeffs = StencilCoeffs(dx=dx, dy=dy, dt=dt, viscosity=viscosity, density=density)
+    omega = optimal_omega(nx, ny)
+    sor = SORConfig(
+        omega=omega,
+        tol_factor=tolerance_factor,
+        abs_tol=abs_tol,
+        max_iters=max_sor_iterations,
+        check_every=poisson_check_every,
+    )
+    return Case(
+        name="backwards_step",
+        grid=grid,
+        coeffs=coeffs,
+        ordering="channel",
+        velocity_bc=step_bc(grid, inlet_velocity, inlet_j_max),
+        poisson_solve=make_ghost_poisson(grid, coeffs, sor, step_pressure_ghosts(grid)),
+        remove_source_mean=True,
+        cavity_corrector=False,
+        ke_divisor=grid.n_fluid,  # backwards_step-01.cpp:1055
+        final_time=final_time,
+        total_steps=int(final_time / dt),
+        print_interval=print_interval,
+        save_interval=save_interval,
+        dtype=dtype,
+        vtk_basename="backwards_step_flow",
+    )

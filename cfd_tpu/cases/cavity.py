@@ -1,0 +1,69 @@
+"""Lid-driven cavity case.
+
+Reference: CavitySolver (cavity-01.cpp:306-775). Defaults reproduce the
+reference's compile-time constants exactly (cavity-01.cpp:309-320) and the
+derived quantities use the same float64 host arithmetic expression shapes
+(cavity-01.cpp:355-363), so dt and step counts match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cfd_tpu.bc import lid_cavity_bc
+from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
+from cfd_tpu.ops.stencil import StencilCoeffs
+from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.sor import SORConfig, make_eps_neumann_poisson
+from cfd_tpu.solver import Case
+
+
+def make_cavity_case(
+    n_interior: int = 63,
+    reynolds_number: float = 1000.0,
+    cavity_length: float = 1.0,
+    cavity_height: float = 1.0,
+    lid_velocity: float = 1.0,
+    density: float = 1.0,
+    cfl_number: float = 0.5,
+    final_time: float = 20.0,
+    tolerance_factor: float = 1e-9,
+    max_sor_iterations: int = 10000,
+    print_interval: int = 100,
+    save_interval: int = 100,
+    dt: float | None = None,
+    poisson_check_every: int = 1,
+    dtype=jnp.float64,
+) -> Case:
+    ensure_dtype_enabled(dtype)
+    grid = Grid.regular(n_interior, n_interior, cavity_length, cavity_height)
+    # nu = rho*U*L/Re (cavity-01.cpp:356)
+    viscosity = density * lid_velocity * cavity_length / reynolds_number
+    if dt is None:
+        dt = cfl_time_step(grid.dx, grid.dy, viscosity, lid_velocity, cfl_number)
+    coeffs = StencilCoeffs(dx=grid.dx, dy=grid.dy, dt=dt, viscosity=viscosity, density=density)
+    omega = optimal_omega(n_interior)  # square form, cavity-01.cpp:74-78
+    sor = SORConfig(
+        omega=omega,
+        tol_factor=tolerance_factor,
+        abs_tol=0.0,
+        max_iters=max_sor_iterations,
+        check_every=poisson_check_every,
+    )
+    return Case(
+        name="cavity",
+        grid=grid,
+        coeffs=coeffs,
+        ordering="cavity",
+        velocity_bc=lid_cavity_bc(grid, lid_velocity),
+        poisson_solve=make_eps_neumann_poisson(grid, coeffs, sor),
+        remove_source_mean=False,
+        cavity_corrector=True,
+        ke_divisor=n_interior * n_interior,
+        final_time=final_time,
+        total_steps=int(final_time / dt),
+        print_interval=print_interval,
+        save_interval=save_interval,
+        dtype=dtype,
+        vtk_basename="cavity_flow",
+    )

@@ -1,0 +1,69 @@
+"""Channel (Poiseuille start-up) case.
+
+Reference: ChannelSolver (channel-01.cpp:283-770). Defaults reproduce
+channel-01.cpp:286-303 with derived quantities per channel-01.cpp:336-344.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cfd_tpu.bc import channel_bc, channel_pressure_ghosts
+from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
+from cfd_tpu.ops.stencil import StencilCoeffs
+from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.sor import SORConfig, make_ghost_poisson
+from cfd_tpu.solver import Case
+
+
+def make_channel_case(
+    nx: int = 93,
+    ny: int = 31,
+    length: float = 3.0,
+    height: float = 1.0,
+    reynolds_number: float = 100.0,
+    inlet_velocity: float = 1.0,
+    density: float = 1.0,
+    cfl: float = 0.25,
+    final_time: float = 10.0,
+    tolerance_factor: float = 1e-7,
+    abs_tol: float = 1e-10,
+    max_sor_iterations: int = 10000,
+    print_interval: int = 100,
+    save_interval: int = 100,
+    dt: float | None = None,
+    poisson_check_every: int = 1,
+    dtype=jnp.float64,
+) -> Case:
+    ensure_dtype_enabled(dtype)
+    grid = Grid.regular(nx, ny, length, height)
+    # nu = U*H/Re (channel-01.cpp:337)
+    viscosity = inlet_velocity * height / reynolds_number
+    if dt is None:
+        dt = cfl_time_step(grid.dx, grid.dy, viscosity, inlet_velocity, cfl)
+    coeffs = StencilCoeffs(dx=grid.dx, dy=grid.dy, dt=dt, viscosity=viscosity, density=density)
+    omega = optimal_omega(nx, ny)
+    sor = SORConfig(
+        omega=omega,
+        tol_factor=tolerance_factor,
+        abs_tol=abs_tol,
+        max_iters=max_sor_iterations,
+        check_every=poisson_check_every,
+    )
+    return Case(
+        name="channel",
+        grid=grid,
+        coeffs=coeffs,
+        ordering="channel",
+        velocity_bc=channel_bc(grid, inlet_velocity),
+        poisson_solve=make_ghost_poisson(grid, coeffs, sor, channel_pressure_ghosts(grid)),
+        remove_source_mean=True,
+        cavity_corrector=False,
+        ke_divisor=nx * ny,
+        final_time=final_time,
+        total_steps=int(final_time / dt),
+        print_interval=print_interval,
+        save_interval=save_interval,
+        dtype=dtype,
+        vtk_basename="channel_flow",
+    )

@@ -1,0 +1,172 @@
+"""Projection-method time integration (L3 driver).
+
+One solver core parameterized by (grid/mask, BC set, Poisson flavor, step
+ordering) replaces the reference's three monolithic solver classes. Two
+per-step orderings exist in the reference and both are kept for exact
+behavioral parity:
+
+* ``cavity`` ordering (cavity-01.cpp:387-390):
+  BC(u,v) -> predictor -> Poisson (cold start) -> corrector.
+* ``channel`` ordering (channel-01.cpp:365-386, backwards_step-01.cpp:409-430):
+  predictor -> BC(u*,v*) -> source (mean removed) -> Poisson (warm start,
+  ghosts refreshed per sweep) -> corrector -> BC(u,v).
+
+The step is a pure jitted function State -> (State, StepDiagnostics); the
+SOR solve runs as a device-resident while_loop, so a whole time step is one
+XLA program with no host syncs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cfd_tpu.bc import VelocityBC
+from cfd_tpu.grid import Grid
+from cfd_tpu.ops.stencil import (
+    StencilCoeffs,
+    poisson_source,
+    predictor,
+    pressure_correction,
+)
+from cfd_tpu.ops.reductions import flow_statistics
+from cfd_tpu.state import State, StepDiagnostics
+
+PoissonSolve = Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]
+
+
+@dataclasses.dataclass(frozen=True)
+class Case:
+    """Full static description of a simulation case (L5 config layer).
+
+    The reference hardcodes these as ``static constexpr`` blocks
+    (cavity-01.cpp:309-320, channel-01.cpp:287-300,
+    backwards_step-01.cpp:319-334); here they are data.
+    """
+
+    name: str
+    grid: Grid
+    coeffs: StencilCoeffs
+    ordering: str  # "cavity" | "channel"
+    velocity_bc: VelocityBC
+    poisson_solve: PoissonSolve
+    remove_source_mean: bool
+    cavity_corrector: bool  # rho-multiplied gradient (cavity-01.cpp:701)
+    ke_divisor: int
+    final_time: float
+    total_steps: int
+    print_interval: int
+    save_interval: int
+    dtype: jnp.dtype = jnp.float32
+    vtk_basename: str = "flow"
+
+    @property
+    def dt(self) -> float:
+        return self.coeffs.dt
+
+
+def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
+    """Build the pure per-step function for a case (not yet jitted)."""
+    grid, c = case.grid, case.coeffs
+    bc = case.velocity_bc
+    u_valid = jnp.asarray(grid.u_valid_mask)
+    v_valid = jnp.asarray(grid.v_valid_mask)
+    u_range = jnp.asarray(grid.u_range_mask)
+    v_range = jnp.asarray(grid.v_range_mask)
+    cell = jnp.asarray(grid.cell_mask)
+    n_fluid = grid.n_fluid
+
+    if case.ordering == "cavity":
+
+        def step(state: State) -> tuple[State, StepDiagnostics]:
+            u, v = bc(state.u, state.v)
+            us, vs = predictor(u, v, c, u_valid, v_valid)
+            b = poisson_source(us, vs, c, cell, remove_mean=False, n_cells=n_fluid)
+            p, iters, res = case.poisson_solve(state.p, b)
+            u2, v2 = pressure_correction(
+                us, vs, p, c, u_valid, v_valid, u_else=u, v_else=v, cavity_form=True
+            )
+            return State(u2, v2, p, state.T), StepDiagnostics(iters, res)
+
+    elif case.ordering == "channel":
+        zero_else = True  # invalid in-range faces are zeroed (backwards_step-01.cpp:956,972)
+
+        def step(state: State) -> tuple[State, StepDiagnostics]:
+            us, vs = predictor(state.u, state.v, c, u_valid, v_valid)
+            us, vs = bc(us, vs)
+            b = poisson_source(
+                us, vs, c, cell, remove_mean=case.remove_source_mean, n_cells=n_fluid
+            )
+            p, iters, res = case.poisson_solve(state.p, b)
+            zu = jnp.zeros_like(state.u)
+            u_else = jnp.where(u_range, zu, state.u) if zero_else else state.u
+            v_else = jnp.where(v_range, zu, state.v) if zero_else else state.v
+            u2, v2 = pressure_correction(
+                us, vs, p, c, u_valid, v_valid, u_else=u_else, v_else=v_else,
+                cavity_form=case.cavity_corrector,
+            )
+            u2, v2 = bc(u2, v2)
+            return State(u2, v2, p, state.T), StepDiagnostics(iters, res)
+
+    else:
+        raise ValueError(f"unknown ordering: {case.ordering}")
+
+    return step
+
+
+class Simulation:
+    """Host-side time-loop driver with periodic diagnostics and export
+    (equivalent of the reference ``run()`` loops)."""
+
+    def __init__(self, case: Case, exporter=None, log=print):
+        self.case = case
+        self.exporter = exporter  # callable (state, step_idx, time) or None
+        self.log = log
+        self._step = jax.jit(make_step(case))
+        self._stats = jax.jit(
+            lambda u, v: flow_statistics(
+                u, v, case.coeffs, jnp.asarray(case.grid.cell_mask), case.ke_divisor
+            )
+        )
+        self.history: list[dict] = []
+
+    def initial_state(self) -> State:
+        s = State.zeros(self.case.grid.shape, dtype=self.case.dtype)
+        u, v = self.case.velocity_bc(s.u, s.v)
+        return State(u, v, s.p, s.T)
+
+    def statistics(self, state: State) -> dict[str, float]:
+        return {k: float(x) for k, x in self._stats(state.u, state.v).items()}
+
+    def run(self, state: Optional[State] = None, n_steps: Optional[int] = None) -> State:
+        case = self.case
+        if state is None:
+            state = self.initial_state()
+            if self.exporter is not None:
+                self.exporter(state, 0, 0.0)
+        n = case.total_steps if n_steps is None else n_steps
+        for k in range(1, n + 1):
+            t = k * case.dt
+            state, diag = self._step(state)
+            last = k == case.total_steps
+            if k % case.print_interval == 0 or last:
+                row = self.statistics(state)
+                row.update(
+                    step=k, time=t,
+                    poisson_iters=int(diag.poisson_iters),
+                    poisson_residual=float(diag.poisson_residual),
+                )
+                self.history.append(row)
+                self.log(
+                    f"Step {k:6d}/{case.total_steps} | t={t:8.3f}"
+                    f" | max(div)={row['max_divergence']:10.2e}"
+                    f" | avg_KE={row['avg_kinetic_energy']:10.6f}"
+                    f" | PPE iters={row['poisson_iters']:4d}"
+                    f" | res={row['poisson_residual']:10.2e}"
+                )
+            if self.exporter is not None and (k % case.save_interval == 0 or last):
+                self.exporter(state, k, t)
+        return state

@@ -1,0 +1,17 @@
+import os
+import sys
+
+# Simulate an 8-device TPU mesh on CPU for sharding tests; must be set
+# before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Validation tests compare against float64 C++ goldens (1e-9 relative Poisson
+# tolerances are below float32 resolution, SURVEY.md section 7).
+jax.config.update("jax_enable_x64", True)

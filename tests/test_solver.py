@@ -1,0 +1,145 @@
+import numpy as np
+import jax.numpy as jnp
+
+import oracle
+from cfd_tpu.cases.backwards_step import make_backwards_step_case
+from cfd_tpu.cases.cavity import make_cavity_case
+from cfd_tpu.cases.channel import make_channel_case
+from cfd_tpu.solver import Simulation
+
+
+def quiet(*a, **k):
+    pass
+
+
+def test_cavity_step_matches_oracle_end_to_end():
+    """Run 3 full projection steps vs a lexicographic-SOR loop oracle with
+    tight Poisson tolerance: converged states must agree."""
+    case = make_cavity_case(n_interior=15, final_time=0.1, tolerance_factor=1e-12)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    g, c = case.grid, case.coeffs
+    n = g.nx
+
+    u = np.zeros(g.shape)
+    v = np.zeros(g.shape)
+    for _ in range(3):
+        state, _ = sim._step(state)
+
+        u, v = oracle.cavity_bc_loops(u, v, n, n, 1.0)
+        us, vs = oracle.predictor_loops(u, v, g.dx, g.dy, c.dt, c.viscosity, n, n)
+        b = oracle.source_loops(us, vs, g.dx, g.dy, c.dt, 1.0, n, n)
+        from cfd_tpu.grid import optimal_omega
+
+        p, _, _ = oracle.sor_eps_lexicographic(b, g.dx, optimal_omega(n), 1e-12, 30000, n, n)
+        u, v = oracle.corrector_loops(us, vs, p, g.dx, g.dy, c.dt, 1.0, n, n,
+                                      cavity_form=True, u_prev=u, v_prev=v)
+
+    np.testing.assert_allclose(np.asarray(state.u), u, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), v, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.p), p, atol=1e-8)
+
+
+def test_channel_step_matches_oracle_end_to_end():
+    case = make_channel_case(nx=12, ny=8, final_time=0.1, tolerance_factor=1e-12, abs_tol=1e-13)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    g, c = case.grid, case.coeffs
+    nx, ny = g.nx, g.ny
+    from cfd_tpu.grid import optimal_omega
+
+    omega = optimal_omega(nx, ny)
+    u = np.zeros(g.shape)
+    v = np.zeros(g.shape)
+    p = np.zeros(g.shape)
+    u, v = oracle.channel_bc_loops(u, v, nx, ny, 1.0)
+    for _ in range(3):
+        state, _ = sim._step(state)
+
+        us, vs = oracle.predictor_loops(u, v, g.dx, g.dy, c.dt, c.viscosity, nx, ny)
+        us, vs = oracle.channel_bc_loops(us, vs, nx, ny, 1.0)
+        b = oracle.source_loops(us, vs, g.dx, g.dy, c.dt, 1.0, nx, ny, remove_mean=True)
+        p, _, _ = oracle.sor_ghost_lexicographic(
+            p, b, g.dx, g.dy, omega, 1e-12, 1e-13, 50000, nx, ny,
+            lambda q: oracle.channel_pressure_ghosts_loops(q, nx, ny),
+        )
+        u, v = oracle.corrector_loops(us, vs, p, g.dx, g.dy, c.dt, 1.0, nx, ny,
+                                      cavity_form=False)
+        u, v = oracle.channel_bc_loops(u, v, nx, ny, 1.0)
+
+    np.testing.assert_allclose(np.asarray(state.u), u, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), v, atol=1e-9)
+
+
+def test_backwards_step_matches_oracle_end_to_end():
+    case = make_backwards_step_case(nx=24, ny=12, final_time=0.1,
+                                    tolerance_factor=1e-12, abs_tol=1e-13)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    g, c = case.grid, case.coeffs
+    nx, ny = g.nx, g.ny
+    inlet_j_max = int(1.0 / g.dy)
+    from cfd_tpu.grid import optimal_omega
+
+    omega = optimal_omega(nx, ny)
+    f = g.fluid
+    u = np.zeros(g.shape)
+    v = np.zeros(g.shape)
+    p = np.zeros(g.shape)
+    u, v = oracle.step_bc_loops(u, v, nx, ny, 1.0, inlet_j_max, f)
+    for _ in range(3):
+        state, _ = sim._step(state)
+
+        us, vs = oracle.predictor_loops(u, v, g.dx, g.dy, c.dt, c.viscosity, nx, ny, fluid=f)
+        us, vs = oracle.step_bc_loops(us, vs, nx, ny, 1.0, inlet_j_max, f)
+        b = oracle.source_loops(us, vs, g.dx, g.dy, c.dt, 1.0, nx, ny, fluid=f, remove_mean=True)
+        p, _, _ = oracle.sor_ghost_lexicographic(
+            p, b, g.dx, g.dy, omega, 1e-12, 1e-13, 50000, nx, ny,
+            lambda q: oracle.step_pressure_ghosts_loops(q, nx, ny, f),
+            fluid=f,
+        )
+        u, v = oracle.corrector_loops(us, vs, p, g.dx, g.dy, c.dt, 1.0, nx, ny,
+                                      cavity_form=False, fluid=f, u_prev=u, v_prev=v)
+        u, v = oracle.step_bc_loops(u, v, nx, ny, 1.0, inlet_j_max, f)
+
+    np.testing.assert_allclose(np.asarray(state.u), u, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.v), v, atol=1e-9)
+
+
+def test_projection_produces_divergence_free_field():
+    """Channel case: away from the outlet column the projected field is
+    divergence-free up to a uniform constant at the Poisson-tolerance level.
+
+    Two intentional departures from pointwise div=0, both inherited from the
+    reference scheme (its own binary plateaus at max(div)=2.17e-2,
+    golden/channel/stdout.log): (a) the outlet zero-gradient BC overwrites
+    the corrected face u[:, nx] (channel-01.cpp:520-523), injecting
+    divergence in the last cell column; (b) mean-source removal
+    (channel-01.cpp:620-628) shifts b by a constant, so div after correction
+    equals (dt/rho)*mean uniformly. So we assert the *spread* of div over
+    cells i in [1, nx-1] is at tolerance, i.e. div is constant there."""
+    case = make_channel_case(nx=24, ny=8, final_time=1.0, tolerance_factor=1e-10,
+                             abs_tol=1e-12)
+    sim = Simulation(case, log=quiet)
+    state = sim.run(n_steps=20)
+    g, c = case.grid, case.coeffs
+    u, v = np.asarray(state.u), np.asarray(state.v)
+    div = (u[1:g.ny + 1, 1:g.nx + 1] - u[1:g.ny + 1, 0:g.nx]) / g.dx + (
+        v[1:g.ny + 1, 1:g.nx + 1] - v[0:g.ny, 1:g.nx + 1]) / g.dy
+    inner = div[:, : g.nx - 1]  # exclude outlet column
+    assert inner.max() - inner.min() < 1e-8
+    stats = sim.statistics(state)
+    assert 0.0 < stats["avg_kinetic_energy"] < 1.0
+
+
+def test_kinetic_energy_plateaus():
+    case = make_cavity_case(n_interior=15, final_time=20.0)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    ke = []
+    for _ in range(30):
+        for _ in range(10):
+            state, _ = sim._step(state)
+        ke.append(sim.statistics(state)["avg_kinetic_energy"])
+    # monotone-ish rise then plateau: last two samples within 1%
+    assert abs(ke[-1] - ke[-2]) < 0.01 * ke[-1]
