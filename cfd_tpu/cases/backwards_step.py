@@ -82,5 +82,6 @@ def make_backwards_step_case(
         print_interval=print_interval,
         save_interval=save_interval,
         dtype=dtype,
-        vtk_basename="backwards_step_flow",
+        vtk_basename="backwards_step",
+        vtk_title="Backwards Step Flow Data",
     )

@@ -66,4 +66,5 @@ def make_cavity_case(
         save_interval=save_interval,
         dtype=dtype,
         vtk_basename="cavity_flow",
+        vtk_title="Lid-Driven Cavity Flow Data",
     )

@@ -66,4 +66,5 @@ def make_channel_case(
         save_interval=save_interval,
         dtype=dtype,
         vtk_basename="channel_flow",
+        vtk_title="Channel Flow Data",
     )

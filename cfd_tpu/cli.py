@@ -1,0 +1,148 @@
+"""Command-line entry point.
+
+The reference README advertises a CLI (`./cavity_flow --Re 100 --Nx 128 --Ny
+128 --dt 1e-3`, README.md:125-126) that its binaries do not implement (all
+parameters are compile-time constants, cavity-01.cpp:309-320). This CLI
+honors exactly that advertised surface, with the reference constants as
+per-case defaults, plus the knobs the framework adds (precision, Poisson
+solver selection, output/metrics paths, checkpointing).
+
+Usage:
+    python -m cfd_tpu.cli cavity --Re 1000 --Nx 63 --Ny 63
+    python -m cfd_tpu.cli channel --Re 100 --Nx 93 --Ny 31 --T 10
+    python -m cfd_tpu.cli backwards_step
+    python -m cfd_tpu.cli rayleigh_benard --Ra 1e6 --Pr 0.7 --Nx 192 --Ny 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cfd_tpu",
+        description="TPU-native incompressible Navier-Stokes solvers",
+    )
+    sub = p.add_subparsers(dest="case", required=True)
+
+    def common(sp, nx, ny, re, t):
+        sp.add_argument("--Re", type=float, default=re, help="Reynolds number")
+        sp.add_argument("--Nx", type=int, default=nx, help="interior cells in x")
+        sp.add_argument("--Ny", type=int, default=ny, help="interior cells in y")
+        sp.add_argument("--dt", type=float, default=None,
+                        help="time step (default: reference CFL rule)")
+        sp.add_argument("--T", type=float, default=t, help="final time")
+        sp.add_argument("--steps", type=int, default=None,
+                        help="run exactly N steps instead of to final time")
+        sp.add_argument("--precision", choices=["f32", "f64"], default="f64",
+                        help="f64 matches the C++ reference; f32 for speed")
+        sp.add_argument("--out", default="vtk_output", help="VTK output directory")
+        sp.add_argument("--no-vtk", action="store_true", help="disable VTK export")
+        sp.add_argument("--metrics-jsonl", default=None, help="write metric rows to JSONL")
+        sp.add_argument("--metrics-csv", default=None, help="write metric rows to CSV")
+        sp.add_argument("--print-interval", type=int, default=None)
+        sp.add_argument("--save-interval", type=int, default=None)
+        sp.add_argument("--poisson-check-every", type=int, default=1,
+                        help="sweeps between residual checks (amortizes the "
+                             "global reduction; reference checks every sweep)")
+        sp.add_argument("--checkpoint-dir", default=None,
+                        help="periodic checkpoints + resume from latest")
+        sp.add_argument("--checkpoint-interval", type=int, default=500)
+        return sp
+
+    common(sub.add_parser("cavity", help="lid-driven cavity (cavity-01.cpp)"),
+           63, 63, 1000.0, 20.0)
+    common(sub.add_parser("channel", help="channel / Poiseuille start-up (channel-01.cpp)"),
+           93, 31, 100.0, 10.0)
+    common(sub.add_parser("backwards_step", help="backward-facing step (backwards_step-01.cpp)"),
+           256, 32, 100.0, 15.0)
+    rb = common(sub.add_parser("rayleigh_benard", help="Rayleigh-Benard convection (README.md:79-94)"),
+                192, 64, 0.0, 50.0)
+    rb.add_argument("--Ra", type=float, default=1e6, help="Rayleigh number")
+    rb.add_argument("--Pr", type=float, default=0.71, help="Prandtl number")
+    return p
+
+
+def make_case_from_args(args):
+    kw = dict(dt=args.dt, final_time=args.T,
+              poisson_check_every=args.poisson_check_every)
+    kw = {k: v for k, v in kw.items() if v is not None}
+    if args.precision == "f32":
+        import jax.numpy as jnp
+
+        kw["dtype"] = jnp.float32
+    if args.print_interval is not None:
+        kw["print_interval"] = args.print_interval
+    if args.save_interval is not None:
+        kw["save_interval"] = args.save_interval
+
+    if args.case == "cavity":
+        from cfd_tpu.cases import make_cavity_case
+
+        if args.Nx != args.Ny:
+            raise SystemExit("cavity requires Nx == Ny (square grid)")
+        return make_cavity_case(n_interior=args.Nx, reynolds_number=args.Re, **kw)
+    if args.case == "channel":
+        from cfd_tpu.cases import make_channel_case
+
+        return make_channel_case(nx=args.Nx, ny=args.Ny, reynolds_number=args.Re, **kw)
+    if args.case == "backwards_step":
+        from cfd_tpu.cases import make_backwards_step_case
+
+        return make_backwards_step_case(nx=args.Nx, ny=args.Ny, reynolds_number=args.Re, **kw)
+    if args.case == "rayleigh_benard":
+        from cfd_tpu.cases import make_rayleigh_benard_case
+
+        kw.pop("final_time", None)
+        return make_rayleigh_benard_case(
+            nx=args.Nx, ny=args.Ny, rayleigh=args.Ra, prandtl=args.Pr,
+            final_time=args.T, **kw)
+    raise SystemExit(f"unknown case {args.case}")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    case = make_case_from_args(args)
+
+    from cfd_tpu.io.metrics import MetricsLog
+    from cfd_tpu.io.vtk import exporter_for_case
+    from cfd_tpu.solver import Simulation
+
+    exporter = None if args.no_vtk else exporter_for_case(case, out_dir=args.out)
+    metrics = None
+    if args.metrics_jsonl or args.metrics_csv:
+        metrics = MetricsLog(jsonl_path=args.metrics_jsonl, csv_path=args.metrics_csv)
+
+    g = case.grid
+    print(f"=== cfd_tpu: {case.name} ===")
+    print(f"devices: {jax.devices()}")
+    print(f"grid: {g.nx}x{g.ny} (dx={g.dx:.6f}, dy={g.dy:.6f}), "
+          f"fluid cells: {g.n_fluid}")
+    print(f"dt={case.dt:.6g}, steps={case.total_steps}, T={case.final_time}")
+
+    sim = Simulation(case, exporter=exporter, metrics=metrics)
+
+    state = None
+    start_step = 0
+    if args.checkpoint_dir:
+        from cfd_tpu.io.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir,
+                                 interval=args.checkpoint_interval)
+        state, start_step = ckpt.restore_latest(case)
+        if start_step:
+            print(f"resumed from checkpoint at step {start_step}")
+        sim.checkpointer = ckpt
+
+    sim.run(state=state, n_steps=args.steps, start_step=start_step)
+    if metrics is not None:
+        metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,6 +19,7 @@ XLA program with no host syncs.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable, Optional
 
 import jax
@@ -62,6 +63,7 @@ class Case:
     save_interval: int
     dtype: jnp.dtype = jnp.float32
     vtk_basename: str = "flow"
+    vtk_title: str = "Flow Data"
 
     @property
     def dt(self) -> float:
@@ -121,10 +123,11 @@ class Simulation:
     """Host-side time-loop driver with periodic diagnostics and export
     (equivalent of the reference ``run()`` loops)."""
 
-    def __init__(self, case: Case, exporter=None, log=print):
+    def __init__(self, case: Case, exporter=None, log=print, metrics=None):
         self.case = case
         self.exporter = exporter  # callable (state, step_idx, time) or None
         self.log = log
+        self.metrics = metrics  # io.MetricsLog or None
         self._step = jax.jit(make_step(case))
         self._stats = jax.jit(
             lambda u, v: flow_statistics(
@@ -132,6 +135,11 @@ class Simulation:
             )
         )
         self.history: list[dict] = []
+        self.checkpointer = None  # io.checkpoint.CheckpointManager or None
+        # Failure detection (SURVEY.md section 5.3): the reference continues
+        # after SOR non-convergence and has no NaN guards; here a NaN/Inf
+        # or a KE blowup aborts the run with a diagnosable error.
+        self.blowup_ke_threshold = 1e6
 
     def initial_state(self) -> State:
         s = State.zeros(self.case.grid.shape, dtype=self.case.dtype)
@@ -141,25 +149,44 @@ class Simulation:
     def statistics(self, state: State) -> dict[str, float]:
         return {k: float(x) for k, x in self._stats(state.u, state.v).items()}
 
-    def run(self, state: Optional[State] = None, n_steps: Optional[int] = None) -> State:
+    def run(self, state: Optional[State] = None, n_steps: Optional[int] = None,
+            start_step: int = 0) -> State:
         case = self.case
         if state is None:
             state = self.initial_state()
-            if self.exporter is not None:
+            if self.exporter is not None and start_step == 0:
                 self.exporter(state, 0, 0.0)
-        n = case.total_steps if n_steps is None else n_steps
-        for k in range(1, n + 1):
+        n = case.total_steps if n_steps is None else start_step + n_steps
+        n_cells = case.grid.n_fluid
+        t_wall0 = time.perf_counter()
+        prev_k, prev_wall = start_step, t_wall0
+        for k in range(start_step + 1, n + 1):
             t = k * case.dt
             state, diag = self._step(state)
             last = k == case.total_steps
             if k % case.print_interval == 0 or last:
+                now = time.perf_counter()
                 row = self.statistics(state)
+                interval_steps = k - prev_k
+                interval_wall = max(now - prev_wall, 1e-12)
                 row.update(
                     step=k, time=t,
                     poisson_iters=int(diag.poisson_iters),
                     poisson_residual=float(diag.poisson_residual),
+                    wall_seconds=now - t_wall0,
+                    cell_updates_per_sec=n_cells * interval_steps / interval_wall,
                 )
+                prev_k, prev_wall = k, now
                 self.history.append(row)
+                if self.metrics is not None:
+                    self.metrics.append(row)
+                ke = row["avg_kinetic_energy"]
+                if not (ke == ke) or ke > self.blowup_ke_threshold:  # NaN or blowup
+                    raise RuntimeError(
+                        f"solver diverged at step {k}: avg_KE={ke} "
+                        f"(max_div={row['max_divergence']}, "
+                        f"poisson_residual={row['poisson_residual']}); "
+                        "reduce dt/CFL or check boundary conditions")
                 self.log(
                     f"Step {k:6d}/{case.total_steps} | t={t:8.3f}"
                     f" | max(div)={row['max_divergence']:10.2e}"
@@ -169,4 +196,8 @@ class Simulation:
                 )
             if self.exporter is not None and (k % case.save_interval == 0 or last):
                 self.exporter(state, k, t)
+            if self.checkpointer is not None:
+                self.checkpointer.maybe_save(state, k)
+        if self.exporter is not None and hasattr(self.exporter, "write_collection"):
+            self.exporter.write_collection()
         return state
