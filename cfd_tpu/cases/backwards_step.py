@@ -39,6 +39,7 @@ def make_backwards_step_case(
     save_interval: int = 10,
     dt: float | None = None,
     poisson_check_every: int = 1,
+    poisson: str = "auto",  # masked multigrid lands later; "sor" is exact
     dtype=jnp.float64,
 ) -> Case:
     ensure_dtype_enabled(dtype)
@@ -67,6 +68,9 @@ def make_backwards_step_case(
         max_iters=max_sor_iterations,
         check_every=poisson_check_every,
     )
+    if poisson not in ("auto", "sor"):
+        raise ValueError("backwards_step currently supports poisson='sor' only "
+                         "(masked multigrid planned; SURVEY.md section 7 hard parts)")
     return Case(
         name="backwards_step",
         grid=grid,

@@ -14,6 +14,7 @@ from cfd_tpu.bc import lid_cavity_bc
 from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
 from cfd_tpu.ops.stencil import StencilCoeffs
 from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.multigrid import MGConfig, cavity_problem, make_multigrid_poisson, mg_compatible
 from cfd_tpu.poisson.sor import SORConfig, make_eps_neumann_poisson
 from cfd_tpu.solver import Case
 
@@ -33,6 +34,7 @@ def make_cavity_case(
     save_interval: int = 100,
     dt: float | None = None,
     poisson_check_every: int = 1,
+    poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
 ) -> Case:
     ensure_dtype_enabled(dtype)
@@ -50,13 +52,29 @@ def make_cavity_case(
         max_iters=max_sor_iterations,
         check_every=poisson_check_every,
     )
+    if poisson == "auto":
+        # SOR matches the reference's iteration behavior and wins on small
+        # grids; multigrid's O(N) advantage takes over at scale (the
+        # reference's own TODO, README.md:39). The reference 63^2 config is
+        # odd-sized and stays on SOR.
+        poisson = "multigrid" if mg_compatible(n_interior, n_interior) and n_interior >= 128 else "sor"
+    if poisson == "multigrid":
+        solve = make_multigrid_poisson(
+            cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
+            MGConfig(tol_factor=tolerance_factor, abs_tol=0.0),
+            dtype=dtype,
+        )
+    elif poisson == "sor":
+        solve = make_eps_neumann_poisson(grid, coeffs, sor)
+    else:
+        raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="cavity",
         grid=grid,
         coeffs=coeffs,
         ordering="cavity",
         velocity_bc=lid_cavity_bc(grid, lid_velocity),
-        poisson_solve=make_eps_neumann_poisson(grid, coeffs, sor),
+        poisson_solve=solve,
         remove_source_mean=False,
         cavity_corrector=True,
         ke_divisor=n_interior * n_interior,

@@ -12,6 +12,7 @@ from cfd_tpu.bc import channel_bc, channel_pressure_ghosts
 from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
 from cfd_tpu.ops.stencil import StencilCoeffs
 from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.multigrid import MGConfig, channel_problem, make_multigrid_poisson, mg_compatible
 from cfd_tpu.poisson.sor import SORConfig, make_ghost_poisson
 from cfd_tpu.solver import Case
 
@@ -33,6 +34,7 @@ def make_channel_case(
     save_interval: int = 100,
     dt: float | None = None,
     poisson_check_every: int = 1,
+    poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
 ) -> Case:
     ensure_dtype_enabled(dtype)
@@ -50,13 +52,25 @@ def make_channel_case(
         max_iters=max_sor_iterations,
         check_every=poisson_check_every,
     )
+    if poisson == "auto":
+        poisson = "multigrid" if mg_compatible(nx, ny) and max(nx, ny) >= 128 else "sor"
+    if poisson == "multigrid":
+        solve = make_multigrid_poisson(
+            channel_problem(nx, ny, grid.dx, grid.dy),
+            MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol),
+            dtype=dtype,
+        )
+    elif poisson == "sor":
+        solve = make_ghost_poisson(grid, coeffs, sor, channel_pressure_ghosts(grid))
+    else:
+        raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="channel",
         grid=grid,
         coeffs=coeffs,
         ordering="channel",
         velocity_bc=channel_bc(grid, inlet_velocity),
-        poisson_solve=make_ghost_poisson(grid, coeffs, sor, channel_pressure_ghosts(grid)),
+        poisson_solve=solve,
         remove_source_mean=True,
         cavity_corrector=False,
         ke_divisor=nx * ny,

@@ -1,0 +1,368 @@
+"""Geometric multigrid pressure-Poisson solver.
+
+The reference's own TODO list names "switch to multigrid Poisson" as the
+scaling fix for SOR's O(N) iteration growth (README.md:39); this module is
+that solver, built TPU-first: every smoothing sweep, restriction,
+prolongation and residual is a whole-array fused VPU pass, the V-cycle is a
+static unrolled loop over levels (compile-time level count), and the outer
+tolerance loop is a device-resident ``lax.while_loop`` — one XLA program per
+solve, no host syncs.
+
+Unified operator
+----------------
+All three reference Poisson flavors are instances of one weighted 5-point
+operator on the padded grid (ghost ring identically zero):
+
+    A(p) = idx2*(wE*(pE - p) + wW*(pW - p)) + idy2*(wN*(pN - p) + wS*(pS - p))
+
+* Neumann side (wall/inlet ghosts copying the interior,
+  channel-01.cpp:531-541): coupling weight w = 0.
+* Dirichlet-0 side (channel outlet ghost column pinned to the reference
+  pressure 0, channel-01.cpp:535): w = 1 with the neighbor read from the
+  zero ghost.
+* The cavity's ``eps_s = 1`` quirk (cavity-01.cpp:647) — every interior cell
+  counts a south neighbor, so the bottom row couples to the zero ghost — is
+  just wS = 1 at j = 1.
+* Fluid-fluid interior couplings: w = 1.
+
+Coarsening rediscretizes the same weights: an interface coupling on the
+coarse grid is the average of the two fine couplings it covers, which
+preserves the boundary encoding on every level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_tpu.ops.stencil import _sh
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonProblem:
+    """Host-side spec of one weighted-Poisson level."""
+
+    nx: int
+    ny: int
+    dx: float
+    dy: float
+    wE: np.ndarray  # (ny+2, nx+2) float; coupling weights, 0 outside interior
+    wW: np.ndarray
+    wN: np.ndarray
+    wS: np.ndarray
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.ny + 2, self.nx + 2)
+
+
+def mg_compatible(nx: int, ny: int, min_coarse: int = 4) -> bool:
+    """True when at least one factor-2 coarsening is possible."""
+    return nx % 2 == 0 and ny % 2 == 0 and nx // 2 >= min_coarse and ny // 2 >= min_coarse
+
+
+def _interior_mask(nx: int, ny: int) -> np.ndarray:
+    m = np.zeros((ny + 2, nx + 2), dtype=bool)
+    m[1 : ny + 1, 1 : nx + 1] = True
+    return m
+
+
+def cavity_problem(nx: int, ny: int, dx: float, dy: float) -> PoissonProblem:
+    """The cavity flavor: Neumann sides except the always-on south coupling
+    (cavity-01.cpp:644-647)."""
+    jj = np.arange(ny + 2)[:, None]
+    ii = np.arange(nx + 2)[None, :]
+    interior = _interior_mask(nx, ny)
+    wE = ((ii < nx) & interior).astype(np.float64)
+    wW = ((ii > 1) & interior).astype(np.float64)
+    wN = ((jj < ny) & interior).astype(np.float64)
+    wS = interior.astype(np.float64)  # reference quirk: couples j=1 to 0-ghost
+    return PoissonProblem(nx, ny, dx, dy, wE, wW, wN, wS)
+
+
+def neumann_problem(nx: int, ny: int, dx: float, dy: float) -> PoissonProblem:
+    """Pure-Neumann box (use with mean-pinning / mean-removed sources)."""
+    jj = np.arange(ny + 2)[:, None]
+    ii = np.arange(nx + 2)[None, :]
+    interior = _interior_mask(nx, ny)
+    wE = ((ii < nx) & interior).astype(np.float64)
+    wW = ((ii > 1) & interior).astype(np.float64)
+    wN = ((jj < ny) & interior).astype(np.float64)
+    wS = ((jj > 1) & interior).astype(np.float64)
+    return PoissonProblem(nx, ny, dx, dy, wE, wW, wN, wS)
+
+
+def channel_problem(nx: int, ny: int, dx: float, dy: float) -> PoissonProblem:
+    """Channel flavor: inlet/walls Neumann, outlet Dirichlet-0 through the
+    ghost column (channel-01.cpp:531-541)."""
+    p = neumann_problem(nx, ny, dx, dy)
+    wE = p.wE.copy()
+    wE[1 : ny + 1, nx] = 1.0  # outlet column couples to the 0-pinned ghost
+    return dataclasses.replace(p, wE=wE)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    """Device-side constants for one level (jnp arrays, closed over by jit)."""
+
+    wE: jnp.ndarray
+    wW: jnp.ndarray
+    wN: jnp.ndarray
+    wS: jnp.ndarray
+    inv_diag: jnp.ndarray  # 1/denominator on interior, 0 outside
+    red: jnp.ndarray
+    black: jnp.ndarray
+    interior: jnp.ndarray
+    idx2: float
+    idy2: float
+    shape: tuple[int, int]
+
+
+def _build_level(p: PoissonProblem, dtype) -> _Level:
+    idx2 = 1.0 / (p.dx * p.dx)
+    idy2 = 1.0 / (p.dy * p.dy)
+    denom = idx2 * (p.wE + p.wW) + idy2 * (p.wN + p.wS)
+    interior = _interior_mask(p.nx, p.ny) & (denom > 0)
+    inv_diag = np.where(interior, 1.0 / np.where(denom > 0, denom, 1.0), 0.0)
+    jj = np.arange(p.ny + 2)[:, None]
+    ii = np.arange(p.nx + 2)[None, :]
+    cb = (ii + jj) % 2 == 0
+    return _Level(
+        wE=jnp.asarray(p.wE, dtype), wW=jnp.asarray(p.wW, dtype),
+        wN=jnp.asarray(p.wN, dtype), wS=jnp.asarray(p.wS, dtype),
+        inv_diag=jnp.asarray(inv_diag, dtype),
+        red=jnp.asarray(cb & interior), black=jnp.asarray(~cb & interior),
+        interior=jnp.asarray(interior),
+        idx2=idx2, idy2=idy2, shape=p.shape,
+    )
+
+
+def coarsen_problem(p: PoissonProblem) -> PoissonProblem:
+    """Factor-2 coarsening with interface-averaged couplings.
+
+    A coarse east coupling spans the two fine east interfaces of the right
+    column of the 2x2 block; averaging the fine weights preserves
+    Neumann (0), Dirichlet (1) and fractional masked couplings.
+    """
+    assert p.nx % 2 == 0 and p.ny % 2 == 0
+    nx, ny = p.nx // 2, p.ny // 2
+
+    def block(a: np.ndarray) -> np.ndarray:
+        """(ny, 2, nx, 2): [J, j_child, I, i_child] over the fine interior."""
+        return a[1 : p.ny + 1, 1 : p.nx + 1].reshape(ny, 2, nx, 2)
+
+    def pad(interior: np.ndarray) -> np.ndarray:
+        w = np.zeros((ny + 2, nx + 2))
+        w[1 : ny + 1, 1 : nx + 1] = interior
+        return w
+
+    # A coarse E/W coupling spans the two fine interfaces of the right/left
+    # child column (averaged over the j-children); N/S analogously.
+    wE = pad(block(p.wE)[:, :, :, 1].mean(axis=1))
+    wW = pad(block(p.wW)[:, :, :, 0].mean(axis=1))
+    wN = pad(block(p.wN)[:, 1, :, :].mean(axis=-1))
+    wS = pad(block(p.wS)[:, 0, :, :].mean(axis=-1))
+
+    # Domain-edge Dirichlet couplings pin the value at a ghost CENTER of the
+    # finer grid — a fixed physical location. Plain averaging would re-anchor
+    # the pin at the coarse ghost center, weakening it each level; that
+    # inconsistency makes the smooth (near-nullspace) mode's coarse
+    # correction wrong by an O(1) factor and the V-cycle convergence factor
+    # roughly doubles per level (measured: 0.23 -> 0.46 -> divergence).
+    # Consistency: a coupling w at spacing H encodes pin distance d = H/w;
+    # the coarse center sits H/2 further away, so
+    #   w_c = (2H) / (d + H/2) = 4 w / (2 + w),
+    # which maps 1 -> 4/3 -> 8/5 -> ... (and fixes 0 = Neumann).
+    def edge_fix(w):
+        return 4.0 * w / (2.0 + w)
+
+    wS[1, 1 : nx + 1] = edge_fix(wS[1, 1 : nx + 1])
+    wN[ny, 1 : nx + 1] = edge_fix(wN[ny, 1 : nx + 1])
+    wW[1 : ny + 1, 1] = edge_fix(wW[1 : ny + 1, 1])
+    wE[1 : ny + 1, nx] = edge_fix(wE[1 : ny + 1, nx])
+    return PoissonProblem(nx, ny, p.dx * 2, p.dy * 2, wE, wW, wN, wS)
+
+
+def _smooth(level: _Level, p, b, omega, parity_mask):
+    pE, pW = _sh(p, 0, 1), _sh(p, 0, -1)
+    pN, pS = _sh(p, 1, 0), _sh(p, -1, 0)
+    gs = (level.idx2 * (level.wE * pE + level.wW * pW)
+          + level.idy2 * (level.wN * pN + level.wS * pS) - b) * level.inv_diag
+    upd = p + omega * (gs - p)
+    return jnp.where(parity_mask, upd.astype(p.dtype), p)
+
+
+def _apply(level: _Level, p):
+    pE, pW = _sh(p, 0, 1), _sh(p, 0, -1)
+    pN, pS = _sh(p, 1, 0), _sh(p, -1, 0)
+    a = (level.idx2 * (level.wE * (pE - p) + level.wW * (pW - p))
+         + level.idy2 * (level.wN * (pN - p) + level.wS * (pS - p)))
+    return jnp.where(level.interior, a, jnp.zeros_like(a))
+
+
+def _residual(level: _Level, p, b):
+    return jnp.where(level.interior, b - _apply(level, p), jnp.zeros_like(b))
+
+
+def _restrict(fine: _Level, coarse: _Level, r):
+    """Full-weighting: coarse cell value = mean of its 4 fine children."""
+    ny_f, nx_f = fine.shape[0] - 2, fine.shape[1] - 2
+    ny_c, nx_c = coarse.shape[0] - 2, coarse.shape[1] - 2
+    blocks = r[1 : ny_f + 1, 1 : nx_f + 1].reshape(ny_c, 2, nx_c, 2)
+    rc = blocks.mean(axis=(1, 3))
+    out = jnp.zeros(coarse.shape, dtype=r.dtype)
+    return out.at[1 : ny_c + 1, 1 : nx_c + 1].set(rc)
+
+
+def _prolong(coarse: _Level, fine: _Level, e):
+    """Bilinear (cell-centered 9-3-3-1) interpolation of the coarse
+    correction. Piecewise-constant transfer violates the transfer-order rule
+    (prolongation+restriction order must exceed the PDE order) and caps the
+    V-cycle at ~0.86/cycle; bilinear restores mesh-independent rates.
+    Boundary ghosts are edge-extrapolated (Neumann in the correction), which
+    post-smoothing localizes to O(h) boundary error per cycle."""
+    ny_c, nx_c = coarse.shape[0] - 2, coarse.shape[1] - 2
+    ny_f, nx_f = fine.shape[0] - 2, fine.shape[1] - 2
+    ce = jnp.pad(e[1 : ny_c + 1, 1 : nx_c + 1], 1, mode="edge")
+    c = ce[1:-1, 1:-1]
+    cw, ceast = ce[1:-1, :-2], ce[1:-1, 2:]
+    cs, cn = ce[:-2, 1:-1], ce[2:, 1:-1]
+    csw, cse = ce[:-2, :-2], ce[:-2, 2:]
+    cnw, cne = ce[2:, :-2], ce[2:, 2:]
+    k = 1.0 / 16.0
+    c00 = k * (9 * c + 3 * cw + 3 * cs + csw)  # child (j-lo, i-lo)
+    c01 = k * (9 * c + 3 * ceast + 3 * cs + cse)
+    c10 = k * (9 * c + 3 * cw + 3 * cn + cnw)
+    c11 = k * (9 * c + 3 * ceast + 3 * cn + cne)
+    bottom = jnp.stack([c00, c01], axis=-1).reshape(ny_c, nx_f)
+    top = jnp.stack([c10, c11], axis=-1).reshape(ny_c, nx_f)
+    ef = jnp.stack([bottom, top], axis=1).reshape(ny_f, nx_f)
+    out = jnp.zeros(fine.shape, dtype=e.dtype)
+    out = out.at[1 : ny_f + 1, 1 : nx_f + 1].set(ef)
+    return jnp.where(fine.interior, out, jnp.zeros_like(out))
+
+
+@dataclasses.dataclass(frozen=True)
+class MGConfig:
+    omega: float = 1.0  # smoother relaxation (GS); >1 can destabilize rb-MG
+    pre_sweeps: int = 2  # red+black pairs before coarse correction
+    post_sweeps: int = 2
+    coarse_sweeps: int = 32
+    max_cycles: int = 100
+    tol_factor: float = 1e-9  # relative to max|b|
+    abs_tol: float = 0.0
+    min_coarse: int = 4  # stop coarsening when a side would drop below this
+    pin_mean: bool = False  # subtract interior mean each cycle (pure Neumann)
+
+
+def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:
+    """numpy twin of _apply for host-side dense-matrix probing."""
+    idx2, idy2 = 1.0 / (p.dx * p.dx), 1.0 / (p.dy * p.dy)
+    xE = np.roll(x, -1, axis=1)
+    xW = np.roll(x, 1, axis=1)
+    xN = np.roll(x, -1, axis=0)
+    xS = np.roll(x, 1, axis=0)
+    a = idx2 * (p.wE * (xE - x) + p.wW * (xW - x)) + idy2 * (p.wN * (xN - x) + p.wS * (xS - x))
+    m = _interior_mask(p.nx, p.ny)
+    return np.where(m, a, 0.0)
+
+
+def _dense_pinv(p: PoissonProblem) -> np.ndarray:
+    """Pseudo-inverse of the coarsest operator over interior cells.
+
+    The weighted cavity/Neumann operators are nearly (or exactly) singular —
+    the near-constant mode makes iterative coarse solves arbitrarily slow,
+    which is the classic V-cycle killer. The coarsest grid is tiny
+    (<= min_coarse^2-ish cells), so an exact solve is one small matmul:
+    TPU-cheap and nullspace-safe via pinv."""
+    n = p.nx * p.ny
+    A = np.zeros((n, n))
+    for k in range(n):
+        e = np.zeros((p.ny + 2, p.nx + 2))
+        e[1 + k // p.nx, 1 + k % p.nx] = 1.0
+        A[:, k] = _apply_np(p, e)[1 : p.ny + 1, 1 : p.nx + 1].ravel()
+    return np.linalg.pinv(A, rcond=1e-12)
+
+
+def build_hierarchy(problem: PoissonProblem, cfg: MGConfig, dtype=jnp.float32
+                    ) -> tuple[list[_Level], jnp.ndarray]:
+    """Returns (levels, coarsest pseudo-inverse)."""
+    probs = [problem]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse and probs[-1].ny // 2 >= cfg.min_coarse):
+        probs.append(coarsen_problem(probs[-1]))
+    pinv = jnp.asarray(_dense_pinv(probs[-1]), dtype)
+    return [_build_level(p, dtype) for p in probs], pinv
+
+
+def make_multigrid_poisson(
+    problem: PoissonProblem,
+    cfg: MGConfig,
+    dtype=jnp.float32,
+    n_interior: int | None = None,
+) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Returns solve(p_warm, b) -> (p, cycles, residual_inf).
+
+    Matches the SOR solver call contract in cfd_tpu.poisson.sor so cases can
+    swap solvers freely. ``cycles`` counts V-cycles (not sweeps).
+    """
+    levels, coarse_pinv = build_hierarchy(problem, cfg, dtype)
+    n_int = n_interior or (problem.nx * problem.ny)
+    bot = levels[-1]
+    bot_ny, bot_nx = bot.shape[0] - 2, bot.shape[1] - 2
+
+    def smooth_pair(level, p, b, n):
+        def body(_, p):
+            p = _smooth(level, p, b, cfg.omega, level.red)
+            return _smooth(level, p, b, cfg.omega, level.black)
+
+        return jax.lax.fori_loop(0, n, body, p)
+
+    def coarse_solve(b):
+        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
+        e = (coarse_pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
+        out = jnp.zeros(bot.shape, dtype=b.dtype)
+        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
+
+    def vcycle(k: int, p, b):
+        level = levels[k]
+        if k == len(levels) - 1:
+            return coarse_solve(b)
+        p = smooth_pair(level, p, b, cfg.pre_sweeps)
+        r = _residual(level, p, b)
+        rc = _restrict(level, levels[k + 1], r)
+        ec = vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
+        p = p + _prolong(levels[k + 1], level, ec)
+        return smooth_pair(level, p, b, cfg.post_sweeps)
+
+    top = levels[0]
+
+    def solve(p_warm, b):
+        dtype_ = b.dtype
+        max_b = jnp.max(jnp.abs(b))
+        tol = jnp.maximum(cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
+                          jnp.asarray(cfg.abs_tol, dtype_))
+        p0 = jnp.where(top.interior, p_warm, jnp.zeros_like(p_warm))
+
+        def cond(carry):
+            _, res, it = carry
+            return (res > tol) & (it < cfg.max_cycles)
+
+        def body(carry):
+            p, _, it = carry
+            p = vcycle(0, p, b)
+            if cfg.pin_mean:
+                mean = jnp.sum(p) / n_int  # p is 0 outside interior
+                p = jnp.where(top.interior, p - mean, p)
+            res = jnp.max(jnp.abs(_residual(top, p, b)))
+            return p, res, it + 1
+
+        init = (p0, tol + jnp.asarray(1.0, dtype_), jnp.asarray(0, jnp.int32))
+        p, res, iters = jax.lax.while_loop(cond, body, init)
+        return p, iters, res
+
+    return solve
