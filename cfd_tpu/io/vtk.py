@@ -73,6 +73,7 @@ class SnapshotFields:
     vorticity: np.ndarray
     mask: np.ndarray | None = None  # FluidMask (backwards_step-01.cpp:152-160)
     vort_computed: np.ndarray | None = None  # where masked vorticity was computable
+    extra: dict[str, np.ndarray] | None = None  # extra SCALARS (e.g. temperature)
 
 
 def write_structured_grid(
@@ -121,6 +122,8 @@ def write_structured_grid(
     buf.write(_scalar_section("velocity_magnitude", mag, solid))
     buf.write(_scalar_section("pressure", p))
     buf.write(_scalar_section("vorticity", w, vort_lit))
+    for name, arr in (fields.extra or {}).items():
+        buf.write(_scalar_section(name, arr))
     Path(path).write_text(buf.getvalue())
 
 
@@ -153,10 +156,11 @@ class VTKExporter:
     """
 
     def __init__(self, grid: Grid, coeffs: StencilCoeffs, title: str, base: str,
-                 out_dir: str | Path = "vtk_output"):
+                 out_dir: str | Path = "vtk_output", extra_fields=None):
         self.grid = grid
         self.title = title
         self.base = base
+        self._extra_fields = jax.jit(extra_fields) if extra_fields else None
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.entries: list[tuple[float, str]] = []
@@ -196,6 +200,8 @@ class VTKExporter:
             vorticity=np.asarray(w)[sl],
             mask=g.fluid[sl] if self._masked else None,
             vort_computed=self._vort_ok_np[sl] if self._masked else None,
+            extra={k: np.asarray(a)[sl] for k, a in self._extra_fields(state).items()}
+            if self._extra_fields is not None else None,
         )
         fname = generate_filename(self.base, step)
         write_structured_grid(self.out_dir / fname, self.title, time_value, g, fields)
@@ -211,4 +217,5 @@ class VTKExporter:
 def exporter_for_case(case, out_dir: str | Path = "vtk_output") -> VTKExporter:
     """Build the exporter for a ``solver.Case`` (duck-typed to avoid an io ->
     solver import cycle)."""
-    return VTKExporter(case.grid, case.coeffs, case.vtk_title, case.vtk_basename, out_dir)
+    return VTKExporter(case.grid, case.coeffs, case.vtk_title, case.vtk_basename,
+                       out_dir, extra_fields=case.vtk_extra_fields)

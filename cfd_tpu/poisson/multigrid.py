@@ -257,6 +257,11 @@ class MGConfig:
     abs_tol: float = 0.0
     min_coarse: int = 4  # stop coarsening when a side would drop below this
     pin_mean: bool = False  # subtract interior mean each cycle (pure Neumann)
+    # Stop when a cycle no longer contracts the residual by at least this
+    # factor: the V(2,2) factor is ~0.15, so hitting 0.7 means the iterate
+    # sits at the dtype's roundoff floor (float32 runs hit it long before a
+    # 1e-9-relative tolerance) — burning further cycles is pure waste.
+    stall_ratio: float = 0.7
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:
@@ -349,20 +354,21 @@ def make_multigrid_poisson(
         p0 = jnp.where(top.interior, p_warm, jnp.zeros_like(p_warm))
 
         def cond(carry):
-            _, res, it = carry
-            return (res > tol) & (it < cfg.max_cycles)
+            _, res, prev, it = carry
+            return (res > tol) & (it < cfg.max_cycles) & (res < cfg.stall_ratio * prev)
 
         def body(carry):
-            p, _, it = carry
+            p, res, _, it = carry
             p = vcycle(0, p, b)
             if cfg.pin_mean:
                 mean = jnp.sum(p) / n_int  # p is 0 outside interior
                 p = jnp.where(top.interior, p - mean, p)
-            res = jnp.max(jnp.abs(_residual(top, p, b)))
-            return p, res, it + 1
+            new_res = jnp.max(jnp.abs(_residual(top, p, b)))
+            return p, new_res, res, it + 1
 
-        init = (p0, tol + jnp.asarray(1.0, dtype_), jnp.asarray(0, jnp.int32))
-        p, res, iters = jax.lax.while_loop(cond, body, init)
+        big = jnp.asarray(jnp.finfo(dtype_).max, dtype_)
+        init = (p0, big / 2, big, jnp.asarray(0, jnp.int32))
+        p, res, _, iters = jax.lax.while_loop(cond, body, init)
         return p, iters, res
 
     return solve

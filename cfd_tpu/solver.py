@@ -64,6 +64,14 @@ class Case:
     dtype: jnp.dtype = jnp.float32
     vtk_basename: str = "flow"
     vtk_title: str = "Flow Data"
+    # Extension hooks for physics beyond the plain projection step (e.g.
+    # Boussinesq): a step-builder taking the Case and returning the step
+    # function, extra jitted per-state scalars for the stats row, an initial
+    # state override, and extra exported VTK fields.
+    custom_step: Optional[Callable] = None
+    extra_stats: Optional[Callable] = None  # (State) -> dict[str, scalar]
+    initial_state_fn: Optional[Callable] = None  # () -> State
+    vtk_extra_fields: Optional[Callable] = None  # (State) -> dict[str, array]
 
     @property
     def dt(self) -> float:
@@ -72,6 +80,8 @@ class Case:
 
 def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
     """Build the pure per-step function for a case (not yet jitted)."""
+    if case.custom_step is not None:
+        return case.custom_step(case)
     grid, c = case.grid, case.coeffs
     bc = case.velocity_bc
     u_valid = jnp.asarray(grid.u_valid_mask)
@@ -134,6 +144,7 @@ class Simulation:
                 u, v, case.coeffs, jnp.asarray(case.grid.cell_mask), case.ke_divisor
             )
         )
+        self._extra_stats = jax.jit(case.extra_stats) if case.extra_stats else None
         self.history: list[dict] = []
         self.checkpointer = None  # io.checkpoint.CheckpointManager or None
         # Failure detection (SURVEY.md section 5.3): the reference continues
@@ -142,12 +153,17 @@ class Simulation:
         self.blowup_ke_threshold = 1e6
 
     def initial_state(self) -> State:
+        if self.case.initial_state_fn is not None:
+            return self.case.initial_state_fn()
         s = State.zeros(self.case.grid.shape, dtype=self.case.dtype)
         u, v = self.case.velocity_bc(s.u, s.v)
         return State(u, v, s.p, s.T)
 
     def statistics(self, state: State) -> dict[str, float]:
-        return {k: float(x) for k, x in self._stats(state.u, state.v).items()}
+        row = {k: float(x) for k, x in self._stats(state.u, state.v).items()}
+        if self._extra_stats is not None:
+            row.update({k: float(x) for k, x in self._extra_stats(state).items()})
+        return row
 
     def run(self, state: Optional[State] = None, n_steps: Optional[int] = None,
             start_step: int = 0) -> State:
