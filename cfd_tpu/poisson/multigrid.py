@@ -107,38 +107,85 @@ def channel_problem(nx: int, ny: int, dx: float, dy: float) -> PoissonProblem:
 
 @dataclasses.dataclass(frozen=True)
 class _Level:
-    """Device-side constants for one level (jnp arrays, closed over by jit)."""
+    """Device-side constants for one level (jnp arrays, closed over by jit).
+
+    HBM-bandwidth design: for separable (rectangle) problems the coupling
+    weights are stored as broadcastable 1D vectors — wE/wW as (1, nx+2),
+    wN/wS as (ny+2, 1) — and the diagonal, interior mask and red/black
+    parity are (re)computed inline from iotas. A smoothing half-sweep then
+    streams only p and b from HBM instead of p, b, four full-size weight
+    arrays, the inverse diagonal and a parity mask (~3x less traffic on the
+    dominant cost of the whole solver). Non-separable (masked-geometry)
+    problems fall back to full 2D weights.
+    """
 
     wE: jnp.ndarray
     wW: jnp.ndarray
     wN: jnp.ndarray
     wS: jnp.ndarray
-    inv_diag: jnp.ndarray  # 1/denominator on interior, 0 outside
-    red: jnp.ndarray
-    black: jnp.ndarray
-    interior: jnp.ndarray
     idx2: float
     idy2: float
     shape: tuple[int, int]
+    separable: bool
+
+
+def _is_separable(p: PoissonProblem) -> bool:
+    """True when every weight is constant along the non-edge axis over the
+    interior (all rectangle problems and their coarsenings)."""
+    inter = np.s_[1 : p.ny + 1, 1 : p.nx + 1]
+
+    def rows_equal(w):  # w[j, i] independent of j on the interior
+        return bool((w[inter] == w[inter][0:1, :]).all())
+
+    def cols_equal(w):
+        return bool((w[inter] == w[inter][:, 0:1]).all())
+
+    return (rows_equal(p.wE) and rows_equal(p.wW)
+            and cols_equal(p.wN) and cols_equal(p.wS))
 
 
 def _build_level(p: PoissonProblem, dtype) -> _Level:
     idx2 = 1.0 / (p.dx * p.dx)
     idy2 = 1.0 / (p.dy * p.dy)
-    denom = idx2 * (p.wE + p.wW) + idy2 * (p.wN + p.wS)
-    interior = _interior_mask(p.nx, p.ny) & (denom > 0)
-    inv_diag = np.where(interior, 1.0 / np.where(denom > 0, denom, 1.0), 0.0)
-    jj = np.arange(p.ny + 2)[:, None]
-    ii = np.arange(p.nx + 2)[None, :]
-    cb = (ii + jj) % 2 == 0
+    if _is_separable(p):
+        wE = np.zeros((1, p.nx + 2))
+        wE[0, 1 : p.nx + 1] = p.wE[1, 1 : p.nx + 1]
+        wW = np.zeros((1, p.nx + 2))
+        wW[0, 1 : p.nx + 1] = p.wW[1, 1 : p.nx + 1]
+        wN = np.zeros((p.ny + 2, 1))
+        wN[1 : p.ny + 1, 0] = p.wN[1 : p.ny + 1, 1]
+        wS = np.zeros((p.ny + 2, 1))
+        wS[1 : p.ny + 1, 0] = p.wS[1 : p.ny + 1, 1]
+        sep = True
+    else:
+        wE, wW, wN, wS = p.wE, p.wW, p.wN, p.wS
+        sep = False
     return _Level(
-        wE=jnp.asarray(p.wE, dtype), wW=jnp.asarray(p.wW, dtype),
-        wN=jnp.asarray(p.wN, dtype), wS=jnp.asarray(p.wS, dtype),
-        inv_diag=jnp.asarray(inv_diag, dtype),
-        red=jnp.asarray(cb & interior), black=jnp.asarray(~cb & interior),
-        interior=jnp.asarray(interior),
-        idx2=idx2, idy2=idy2, shape=p.shape,
+        wE=jnp.asarray(wE, dtype), wW=jnp.asarray(wW, dtype),
+        wN=jnp.asarray(wN, dtype), wS=jnp.asarray(wS, dtype),
+        idx2=idx2, idy2=idy2, shape=p.shape, separable=sep,
     )
+
+
+def _inline_masks(level: _Level):
+    """(interior, red, black) from iotas — fused by XLA, zero HBM traffic."""
+    ny, nx = level.shape[0] - 2, level.shape[1] - 2
+    jj = jax.lax.broadcasted_iota(jnp.int32, level.shape, 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, level.shape, 1)
+    interior = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    if not level.separable:
+        denom = (level.idx2 * (level.wE + level.wW)
+                 + level.idy2 * (level.wN + level.wS))
+        interior = interior & (denom > 0)
+    even = ((jj + ii) % 2) == 0
+    return interior, interior & even, interior & ~even
+
+
+def _inv_diag(level: _Level, interior):
+    denom = (level.idx2 * (level.wE + level.wW)
+             + level.idy2 * (level.wN + level.wS))
+    denom = jnp.broadcast_to(denom, level.shape)
+    return jnp.where(interior, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
 
 
 def coarsen_problem(p: PoissonProblem) -> PoissonProblem:
@@ -187,25 +234,29 @@ def coarsen_problem(p: PoissonProblem) -> PoissonProblem:
     return PoissonProblem(nx, ny, p.dx * 2, p.dy * 2, wE, wW, wN, wS)
 
 
-def _smooth(level: _Level, p, b, omega, parity_mask):
+def _smooth(level: _Level, p, b, omega, parity_mask, inv_diag):
     pE, pW = _sh(p, 0, 1), _sh(p, 0, -1)
     pN, pS = _sh(p, 1, 0), _sh(p, -1, 0)
     gs = (level.idx2 * (level.wE * pE + level.wW * pW)
-          + level.idy2 * (level.wN * pN + level.wS * pS) - b) * level.inv_diag
+          + level.idy2 * (level.wN * pN + level.wS * pS) - b) * inv_diag
     upd = p + omega * (gs - p)
     return jnp.where(parity_mask, upd.astype(p.dtype), p)
 
 
-def _apply(level: _Level, p):
+def _apply(level: _Level, p, interior=None):
+    if interior is None:
+        interior, _, _ = _inline_masks(level)
     pE, pW = _sh(p, 0, 1), _sh(p, 0, -1)
     pN, pS = _sh(p, 1, 0), _sh(p, -1, 0)
     a = (level.idx2 * (level.wE * (pE - p) + level.wW * (pW - p))
          + level.idy2 * (level.wN * (pN - p) + level.wS * (pS - p)))
-    return jnp.where(level.interior, a, jnp.zeros_like(a))
+    return jnp.where(interior, a, jnp.zeros_like(a))
 
 
-def _residual(level: _Level, p, b):
-    return jnp.where(level.interior, b - _apply(level, p), jnp.zeros_like(b))
+def _residual(level: _Level, p, b, interior=None):
+    if interior is None:
+        interior, _, _ = _inline_masks(level)
+    return jnp.where(interior, b - _apply(level, p, interior), jnp.zeros_like(b))
 
 
 def _restrict(fine: _Level, coarse: _Level, r):
@@ -243,7 +294,8 @@ def _prolong(coarse: _Level, fine: _Level, e):
     ef = jnp.stack([bottom, top], axis=1).reshape(ny_f, nx_f)
     out = jnp.zeros(fine.shape, dtype=e.dtype)
     out = out.at[1 : ny_f + 1, 1 : nx_f + 1].set(ef)
-    return jnp.where(fine.interior, out, jnp.zeros_like(out))
+    interior, _, _ = _inline_masks(fine)
+    return jnp.where(interior, out, jnp.zeros_like(out))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -321,9 +373,12 @@ def make_multigrid_poisson(
     bot_ny, bot_nx = bot.shape[0] - 2, bot.shape[1] - 2
 
     def smooth_pair(level, p, b, n):
+        interior, red, black = _inline_masks(level)
+        inv = _inv_diag(level, interior)
+
         def body(_, p):
-            p = _smooth(level, p, b, cfg.omega, level.red)
-            return _smooth(level, p, b, cfg.omega, level.black)
+            p = _smooth(level, p, b, cfg.omega, red, inv)
+            return _smooth(level, p, b, cfg.omega, black, inv)
 
         return jax.lax.fori_loop(0, n, body, p)
 
@@ -351,7 +406,8 @@ def make_multigrid_poisson(
         max_b = jnp.max(jnp.abs(b))
         tol = jnp.maximum(cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
                           jnp.asarray(cfg.abs_tol, dtype_))
-        p0 = jnp.where(top.interior, p_warm, jnp.zeros_like(p_warm))
+        top_interior, _, _ = _inline_masks(top)
+        p0 = jnp.where(top_interior, p_warm, jnp.zeros_like(p_warm))
 
         def cond(carry):
             _, res, prev, it = carry
@@ -362,7 +418,7 @@ def make_multigrid_poisson(
             p = vcycle(0, p, b)
             if cfg.pin_mean:
                 mean = jnp.sum(p) / n_int  # p is 0 outside interior
-                p = jnp.where(top.interior, p - mean, p)
+                p = jnp.where(top_interior, p - mean, p)
             new_res = jnp.max(jnp.abs(_residual(top, p, b)))
             return p, new_res, res, it + 1
 
