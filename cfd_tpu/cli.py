@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--poisson-check-every", type=int, default=1,
                         help="sweeps between residual checks (amortizes the "
                              "global reduction; reference checks every sweep)")
+        sp.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of the run")
         sp.add_argument("--checkpoint-dir", default=None,
                         help="periodic checkpoints + resume from latest")
         sp.add_argument("--checkpoint-interval", type=int, default=500)
@@ -138,7 +140,11 @@ def main(argv=None) -> int:
             print(f"resumed from checkpoint at step {start_step}")
         sim.checkpointer = ckpt
 
-    sim.run(state=state, n_steps=args.steps, start_step=start_step)
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            sim.run(state=state, n_steps=args.steps, start_step=start_step)
+    else:
+        sim.run(state=state, n_steps=args.steps, start_step=start_step)
     if metrics is not None:
         metrics.close()
     return 0
