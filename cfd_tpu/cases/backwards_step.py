@@ -16,6 +16,7 @@ from cfd_tpu.bc import step_bc, step_pressure_ghosts
 from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
 from cfd_tpu.ops.stencil import StencilCoeffs
 from cfd_tpu.precision import ensure_dtype_enabled
+from cfd_tpu.poisson.multigrid import MGConfig, make_masked_multigrid_poisson, mg_compatible
 from cfd_tpu.poisson.sor import SORConfig, make_ghost_poisson
 from cfd_tpu.solver import Case
 
@@ -39,7 +40,7 @@ def make_backwards_step_case(
     save_interval: int = 10,
     dt: float | None = None,
     poisson_check_every: int = 1,
-    poisson: str = "auto",  # masked multigrid lands later; "sor" is exact
+    poisson: str = "auto",  # "auto" | "sor" | "multigrid" (defect-correction masked MG)
     dtype=jnp.float64,
 ) -> Case:
     ensure_dtype_enabled(dtype)
@@ -68,16 +69,28 @@ def make_backwards_step_case(
         max_iters=max_sor_iterations,
         check_every=poisson_check_every,
     )
-    if poisson not in ("auto", "sor"):
-        raise ValueError("backwards_step currently supports poisson='sor' only "
-                         "(masked multigrid planned; SURVEY.md section 7 hard parts)")
+    if poisson == "auto":
+        poisson = "multigrid" if mg_compatible(nx, ny) and max(nx, ny) >= 128 else "sor"
+    if poisson == "multigrid":
+        # Defect-correction masked MG: exact reference operator on the fine
+        # level (ghost refresh incl. solid-cell averaging), weighted
+        # approximation on the coarse hierarchy (SURVEY.md "masked multigrid"
+        # hard part).
+        solve = make_masked_multigrid_poisson(
+            grid, coeffs,
+            MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol),
+            step_pressure_ghosts(grid), dtype=dtype)
+    elif poisson == "sor":
+        solve = make_ghost_poisson(grid, coeffs, sor, step_pressure_ghosts(grid))
+    else:
+        raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="backwards_step",
         grid=grid,
         coeffs=coeffs,
         ordering="channel",
         velocity_bc=step_bc(grid, inlet_velocity, inlet_j_max),
-        poisson_solve=make_ghost_poisson(grid, coeffs, sor, step_pressure_ghosts(grid)),
+        poisson_solve=solve,
         remove_source_mean=True,
         cavity_corrector=False,
         ke_divisor=grid.n_fluid,  # backwards_step-01.cpp:1055

@@ -361,11 +361,20 @@ def make_multigrid_poisson(
     cfg: MGConfig,
     dtype=jnp.float32,
     n_interior: int | None = None,
+    exact_level0: tuple[Callable, Callable] | None = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns solve(p_warm, b) -> (p, cycles, residual_inf).
 
     Matches the SOR solver call contract in cfd_tpu.poisson.sor so cases can
     swap solvers freely. ``cycles`` counts V-cycles (not sweeps).
+
+    ``exact_level0``: optional (smooth_pairs(p, b, n), residual(p, b))
+    overrides for the finest level — the defect-correction pattern used by
+    the masked-geometry solver: the fine level smooths and measures
+    convergence with the EXACT operator (ghost refresh incl. solid-cell
+    averaging), while the coarse hierarchy uses the weighted approximation
+    (Neumann through solids). Fixed point = exact solution, since the update
+    is residual-driven.
     """
     levels, coarse_pinv = build_hierarchy(problem, cfg, dtype)
     n_int = n_interior or (problem.nx * problem.ny)
@@ -388,18 +397,29 @@ def make_multigrid_poisson(
         out = jnp.zeros(bot.shape, dtype=b.dtype)
         return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
 
+    top = levels[0]
+    if exact_level0 is not None:
+        smooth0, residual0 = exact_level0
+    else:
+        smooth0 = lambda p, b, n: smooth_pair(top, p, b, n)
+        residual0 = lambda p, b: _residual(top, p, b)
+
     def vcycle(k: int, p, b):
         level = levels[k]
         if k == len(levels) - 1:
             return coarse_solve(b)
-        p = smooth_pair(level, p, b, cfg.pre_sweeps)
-        r = _residual(level, p, b)
+        if k == 0:
+            p = smooth0(p, b, cfg.pre_sweeps)
+            r = residual0(p, b)
+        else:
+            p = smooth_pair(level, p, b, cfg.pre_sweeps)
+            r = _residual(level, p, b)
         rc = _restrict(level, levels[k + 1], r)
         ec = vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
         p = p + _prolong(levels[k + 1], level, ec)
+        if k == 0:
+            return smooth0(p, b, cfg.post_sweeps)
         return smooth_pair(level, p, b, cfg.post_sweeps)
-
-    top = levels[0]
 
     def solve(p_warm, b):
         dtype_ = b.dtype
@@ -407,7 +427,8 @@ def make_multigrid_poisson(
         tol = jnp.maximum(cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
                           jnp.asarray(cfg.abs_tol, dtype_))
         top_interior, _, _ = _inline_masks(top)
-        p0 = jnp.where(top_interior, p_warm, jnp.zeros_like(p_warm))
+        p0 = jnp.where(top_interior, p_warm, jnp.zeros_like(p_warm)) \
+            if exact_level0 is None else p_warm
 
         def cond(carry):
             _, res, prev, it = carry
@@ -419,7 +440,7 @@ def make_multigrid_poisson(
             if cfg.pin_mean:
                 mean = jnp.sum(p) / n_int  # p is 0 outside interior
                 p = jnp.where(top_interior, p - mean, p)
-            new_res = jnp.max(jnp.abs(_residual(top, p, b)))
+            new_res = jnp.max(jnp.abs(residual0(p, b)))
             return p, new_res, res, it + 1
 
         big = jnp.asarray(jnp.finfo(dtype_).max, dtype_)
@@ -428,3 +449,66 @@ def make_multigrid_poisson(
         return p, iters, res
 
     return solve
+
+
+def masked_channel_problem(grid, dx: float, dy: float) -> PoissonProblem:
+    """Weighted operator for masked geometry with channel-style domain BCs:
+    fluid-fluid couplings 1, couplings through solid cells 0 (Neumann across
+    internal walls, the elimination of backwards_step-01.cpp:708-739 up to
+    convex-corner diagonal terms), inlet/wall Neumann, outlet Dirichlet-0.
+    Used as the COARSE-hierarchy operator under exact fine-level smoothing
+    (see make_masked_multigrid_poisson)."""
+    f = grid.fluid.astype(np.float64)
+    nx, ny = grid.nx, grid.ny
+    wE = f * np.roll(f, -1, axis=1)
+    wW = f * np.roll(f, 1, axis=1)
+    wN = f * np.roll(f, -1, axis=0)
+    wS = f * np.roll(f, 1, axis=0)
+    wE[1 : ny + 1, nx] = grid.fluid[1 : ny + 1, nx]  # outlet Dirichlet-0 ghost
+    return PoissonProblem(nx, ny, dx, dy, wE, wW, wN, wS)
+
+
+def make_masked_multigrid_poisson(grid, coeffs, cfg: MGConfig, ghosts,
+                                  dtype=jnp.float32):
+    """Defect-correction multigrid for masked geometry (the reference's
+    backward-facing step): the finest level smooths with the exact
+    reference operator — plain 5-point sweeps over fluid cells with the
+    ghost functor (domain ghosts + solid-cell fluid-neighbor averaging,
+    backwards_step-01.cpp:685-739) refreshed every pair — and measures the
+    exact residual; coarser levels correct with the weighted approximation.
+    Converges to the same fixed point as the masked SOR solver."""
+    nx, ny = grid.nx, grid.ny
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+    denom = 2.0 * (idx2 + idy2)
+    fluid = jnp.asarray(grid.cell_mask)
+    jj = np.arange(ny + 2)[:, None]
+    ii = np.arange(nx + 2)[None, :]
+    cb = jnp.asarray((ii + jj) % 2 == 0)
+    red = cb & fluid
+    black = (~cb) & fluid
+    omega = cfg.omega
+
+    def half(p, b, mask):
+        gs = (idx2 * (_sh(p, 0, 1) + _sh(p, 0, -1))
+              + idy2 * (_sh(p, 1, 0) + _sh(p, -1, 0)) - b) / denom
+        upd = (1.0 - omega) * p + omega * gs
+        return jnp.where(mask, upd.astype(p.dtype), p)
+
+    def smooth0(p, b, n):
+        def body(_, p):
+            p = ghosts(p)
+            p = half(p, b, red)
+            p = half(p, b, black)
+            return p
+
+        return ghosts(jax.lax.fori_loop(0, n, body, p))
+
+    def residual0(p, b):
+        p = ghosts(p)
+        lap = (_sh(p, 0, 1) - 2.0 * p + _sh(p, 0, -1)) * idx2 + (
+            _sh(p, 1, 0) - 2.0 * p + _sh(p, -1, 0)) * idy2
+        return jnp.where(fluid, b - lap, jnp.zeros_like(b))
+
+    prob = masked_channel_problem(grid, coeffs.dx, coeffs.dy)
+    return make_multigrid_poisson(prob, cfg, dtype, n_interior=grid.n_fluid,
+                                  exact_level0=(smooth0, residual0))

@@ -152,3 +152,44 @@ def test_channel_case_multigrid_matches_sor_end_to_end():
         s2, _ = sim_mg._step(s2)
     np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-10)
     np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2.v), atol=1e-10)
+
+
+def test_masked_multigrid_matches_masked_sor_backwards_step():
+    """Defect-correction masked MG and masked SOR share the exact operator's
+    fixed point (step geometry)."""
+    import jax.numpy as jnp
+    from cfd_tpu.bc import step_pressure_ghosts
+    from cfd_tpu.cases import make_backwards_step_case
+    from cfd_tpu.poisson.multigrid import make_masked_multigrid_poisson
+
+    case = make_backwards_step_case(nx=64, ny=16, final_time=1.0,
+                                    tolerance_factor=1e-11, abs_tol=1e-12,
+                                    poisson="sor")
+    g, c = case.grid, case.coeffs
+    mg = make_masked_multigrid_poisson(
+        g, c, MGConfig(tol_factor=1e-11, abs_tol=1e-12),
+        step_pressure_ghosts(g), jnp.float64)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(np.where(g.fluid, rng.standard_normal(g.shape), 0.0))
+    p_mg, cycles, res = mg(jnp.zeros(g.shape), b)
+    p_sor, _, _ = case.poisson_solve(jnp.zeros(g.shape), b)
+    fl = np.asarray(g.fluid)
+    assert np.abs(np.asarray(p_mg - p_sor))[fl].max() < 1e-8
+    assert int(cycles) <= 40
+
+
+def test_backwards_step_case_multigrid_matches_sor_end_to_end():
+    from cfd_tpu.cases import make_backwards_step_case
+    from cfd_tpu.solver import Simulation
+
+    kw = dict(nx=64, ny=16, final_time=1.0, tolerance_factor=1e-11,
+              abs_tol=1e-12)
+    sim_sor = Simulation(make_backwards_step_case(poisson="sor", **kw), log=quiet)
+    sim_mg = Simulation(make_backwards_step_case(poisson="multigrid", **kw), log=quiet)
+    s1 = sim_sor.initial_state()
+    s2 = sim_mg.initial_state()
+    for _ in range(5):
+        s1, _ = sim_sor._step(s1)
+        s2, _ = sim_mg._step(s2)
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2.v), atol=1e-9)
