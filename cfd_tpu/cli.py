@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                 192, 64, 0.0, 50.0)
     rb.add_argument("--Ra", type=float, default=1e6, help="Rayleigh number")
     rb.add_argument("--Pr", type=float, default=0.71, help="Prandtl number")
+    rb.add_argument("--ftle-window", type=int, default=0,
+                    help="compute backward FTLE over the last N saved frames "
+                         "and write <out>/ftle_XXXXXX.vtk (the reference RB "
+                         "FTLE animations, README.md:87-94)")
     return p
 
 
@@ -100,6 +104,7 @@ def make_case_from_args(args):
         from cfd_tpu.cases import make_rayleigh_benard_case
 
         kw.pop("final_time", None)
+        kw.pop("poisson_check_every", None)  # RB uses multigrid (cycle-based)
         return make_rayleigh_benard_case(
             nx=args.Nx, ny=args.Ny, rayleigh=args.Ra, prandtl=args.Pr,
             final_time=args.T, **kw)
@@ -115,6 +120,13 @@ def main(argv=None) -> int:
     from cfd_tpu.solver import Simulation
 
     exporter = None if args.no_vtk else exporter_for_case(case, out_dir=args.out)
+    collector = None
+    if getattr(args, "ftle_window", 0):
+        from cfd_tpu.physics.ftle import FrameCollector
+
+        collector = FrameCollector(case.grid, inner=exporter,
+                                   max_frames=args.ftle_window)
+        exporter = collector
     metrics = None
     if args.metrics_jsonl or args.metrics_csv:
         metrics = MetricsLog(jsonl_path=args.metrics_jsonl, csv_path=args.metrics_csv)
@@ -145,6 +157,15 @@ def main(argv=None) -> int:
             sim.run(state=state, n_steps=args.steps, start_step=start_step)
     else:
         sim.run(state=state, n_steps=args.steps, start_step=start_step)
+    if collector is not None and len(collector.times) >= 2:
+        from pathlib import Path
+
+        from cfd_tpu.physics.ftle import write_ftle_vtk
+
+        ftle, _, _ = collector.ftle(case.grid, backward=True)
+        out = Path(args.out) / f"ftle_{len(collector.times):06d}.vtk"
+        write_ftle_vtk(out, case.grid, ftle, collector.times[-1])
+        print(f"backward FTLE over {len(collector.times)} frames -> {out}")
     if metrics is not None:
         metrics.close()
     return 0

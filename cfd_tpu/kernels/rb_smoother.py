@@ -9,12 +9,12 @@ writes p per half-sweep, plus mask/select traffic), and the per-kernel
 launch overhead is paid once per 2*n_pairs sweeps instead of per sweep.
 
 Tiling: 1D over rows. A tile that outputs rows [r0, r0+T) of the padded
-array needs a slab of T + 4*n_pairs rows (each half-sweep consumes one halo
-row per side); slabs overlap, so inputs are DMA'd manually from HBM refs
-(`memory_space=ANY`) with clamped dynamic offsets. Tiles near the bottom
-clamp their output window and overlap the previous tile; overlapping rows
-compute identical values from identical global data, so the duplicate
-writes are benign.
+array needs a slab of T + 2*halo rows (each half-sweep consumes one halo row
+per side); slabs overlap, so inputs are DMA'd manually from HBM refs
+(`memory_space=ANY`) with clamped dynamic offsets. Mosaic requires dynamic
+row offsets divisible by the f32 sublane tiling (8), so the wrapper pads the
+row count to a multiple of 8 and the halo is rounded up to 8; the padding
+rows sit beyond the physical ghost row and are masked out of every update.
 
 Separable weights only (every rectangle problem + its coarsenings): the
 boundary couplings enter as broadcastable row/column vectors kept in VMEM,
@@ -23,8 +23,6 @@ and parity/interior masks come from iotas on the global row index.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -32,8 +30,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cdiv(a, b):
-    return -(-a // b)
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
@@ -50,26 +48,29 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     """
     H, W = shape
     ny, nx = H - 2, W - 2
-    halo = 2 * n_pairs
-    T = min(tile_rows, H)
-    slab = T + 2 * halo
-    if slab >= H:
-        # small level: single whole-array tile
-        T = H
-        slab = H
-    n_tiles = _cdiv(H, T)
+    H8 = _round_up(H, 8)
+    halo = _round_up(2 * n_pairs, 8)
+    T = min(_round_up(tile_rows, 8), H8)
+    if T + 2 * halo >= H8 or H8 % T:
+        T = H8  # small level (or non-dividing tile): one whole-array tile
+    slab = min(T + 2 * halo, H8)
+    n_tiles = H8 // T
 
     wE_v = jnp.asarray(wE, jnp.float32).reshape(1, W)
     wW_v = jnp.asarray(wW, jnp.float32).reshape(1, W)
-    wN_v = jnp.asarray(wN, jnp.float32).reshape(H, 1)
-    wS_v = jnp.asarray(wS, jnp.float32).reshape(H, 1)
+    wn_np = np.zeros(H8)
+    wn_np[:H] = np.asarray(wN)
+    ws_np = np.zeros(H8)
+    ws_np[:H] = np.asarray(wS)
+    wN_v = jnp.asarray(wn_np, jnp.float32).reshape(H8, 1)
+    wS_v = jnp.asarray(ws_np, jnp.float32).reshape(H8, 1)
 
     def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, out_hbm,
-               p_s, b_s, o_s, sems):
+               p_s, b_s, sems):
         i = pl.program_id(0)
-        # int32 throughout (x64 mode must not promote index arithmetic)
-        r0 = jnp.minimum(i * T, H - T).astype(jnp.int32)  # output rows [r0, r0+T)
-        s = jnp.clip(r0 - halo, 0, H - slab).astype(jnp.int32)  # slab rows
+        r0 = (i * T).astype(jnp.int32)  # output rows [r0, r0+T); T | H8
+        s = jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32)
+        s = pl.multiple_of(s, 8)
 
         in_p = pltpu.make_async_copy(p_hbm.at[pl.ds(s, slab), :], p_s, sems.at[0])
         in_b = pltpu.make_async_copy(b_hbm.at[pl.ds(s, slab), :], b_s, sems.at[1])
@@ -80,14 +81,11 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
 
         grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
-        row_ok = (grow >= 1) & (grow <= ny)
-        col_ok = (gcol >= 1) & (gcol <= nx)
-        interior = row_ok & col_ok
+        interior = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx)
         even = ((grow + gcol) % 2) == 0
 
         we = we_ref[:]
         ww = ww_ref[:]
-        # gather the slab's rows of the (H,1) column vectors
         wn = wn_ref[pl.ds(s, slab), :]
         ws = ws_ref[pl.ds(s, slab), :]
         denom = idx2 * (we + ww) + idy2 * (wn + ws)
@@ -104,12 +102,12 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             return jnp.where(mask, upd, p)
 
         p = p_s[:]
-        # The valid band shrinks by one slab row per half-sweep — except at
-        # a physical domain edge, where the dependency chain terminates at
-        # never-updated ghost rows, so no shrink is needed on that side.
+        # The valid band shrinks by one slab row per half-sweep — except
+        # where the slab reaches a physical domain edge: ghost/padding rows
+        # are never updated, so the dependency chain terminates there.
         local = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
         at_bottom = s == 0
-        at_top = s + slab == H
+        at_top = s + slab >= H - 1  # slab reaches the top ghost row
 
         def band(lo):
             lo_eff = jnp.where(at_bottom, 0, lo)
@@ -120,9 +118,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             lo = 2 * k + 1
             p = half(p, interior & even & band(lo))
             p = half(p, interior & ~even & band(lo + 1))
-        o_s[:] = jax.lax.dynamic_slice(p, (r0 - s, jnp.int32(0)), (T, W))
-
-        out = pltpu.make_async_copy(o_s, out_hbm.at[pl.ds(r0, T), :], sems.at[2])
+        p_s[:] = p  # write back into the slab scratch; DMA a ref slice out
+        off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
+        out = pltpu.make_async_copy(p_s.at[pl.ds(off, T), :],
+                                    out_hbm.at[pl.ds(r0, T), :], sems.at[2])
         out.start()
         out.wait()
 
@@ -138,11 +137,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((H8, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((slab, W), jnp.float32),
             pltpu.VMEM((slab, W), jnp.float32),
-            pltpu.VMEM((T, W), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
@@ -151,8 +149,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
 
     @jax.jit
     def pairs(p, b):
-        return fn(p.astype(jnp.float32), b.astype(jnp.float32),
-                  wE_v, wW_v, wN_v, wS_v)
+        pad = H8 - H
+        p8 = jnp.pad(p.astype(jnp.float32), ((0, pad), (0, 0)))
+        b8 = jnp.pad(b.astype(jnp.float32), ((0, pad), (0, 0)))
+        return fn(p8, b8, wE_v, wW_v, wN_v, wS_v)[:H]
 
     return pairs
 

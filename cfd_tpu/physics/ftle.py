@@ -136,6 +136,71 @@ def ftle_field(frames_u: jnp.ndarray, frames_v: jnp.ndarray,
     return jnp.log(jnp.maximum(lam_max, 1e-30)) / (2.0 * span), xs, ys
 
 
+class FrameCollector:
+    """Exporter-chainable callback that stores padded center-velocity frames
+    for FTLE post-processing (the reference's FTLE GIFs are rendered from
+    the saved velocity time series)."""
+
+    def __init__(self, grid: Grid, inner=None, max_frames: int | None = None):
+        from cfd_tpu.ops.stencil import interpolate_to_centers
+
+        cell = jnp.asarray(grid.cell_mask)
+        self._interp = jax.jit(lambda u, v: interpolate_to_centers(u, v, cell))
+        self.inner = inner  # optional wrapped exporter (e.g. VTKExporter)
+        self.max_frames = max_frames
+        self.times: list[float] = []
+        self.frames_u: list = []
+        self.frames_v: list = []
+
+    def __call__(self, state, step: int, time_value: float):
+        uc, vc = self._interp(state.u, state.v)
+        self.times.append(time_value)
+        self.frames_u.append(uc)
+        self.frames_v.append(vc)
+        if self.max_frames is not None and len(self.times) > self.max_frames:
+            self.times.pop(0)
+            self.frames_u.pop(0)
+            self.frames_v.pop(0)
+        if self.inner is not None:
+            self.inner(state, step, time_value)
+
+    def write_collection(self):
+        if self.inner is not None and hasattr(self.inner, "write_collection"):
+            self.inner.write_collection()
+
+    def ftle(self, grid: Grid, backward: bool = True, n_sub: int = 2,
+             n_seed_x: int | None = None, n_seed_y: int | None = None):
+        return ftle_field(jnp.stack(self.frames_u), jnp.stack(self.frames_v),
+                          jnp.asarray(self.times), grid,
+                          n_seed_x=n_seed_x or grid.nx,
+                          n_seed_y=n_seed_y or grid.ny,
+                          n_sub=n_sub, backward=backward)
+
+
+def write_ftle_vtk(path, grid: Grid, ftle, time_value: float,
+                   title: str = "FTLE Data"):
+    """Minimal STRUCTURED_POINTS snapshot of an FTLE field (same format
+    family as the flow snapshots, loadable in the same ParaView pipeline)."""
+    import io as _io
+    from pathlib import Path
+
+    import numpy as np
+
+    f = np.asarray(ftle)
+    sy, sx = f.shape
+    buf = _io.StringIO()
+    buf.write("# vtk DataFile Version 3.0\n")
+    buf.write(f"{title} - Time: {time_value:.6f}\n")
+    buf.write("ASCII\nDATASET STRUCTURED_POINTS\n")
+    buf.write(f"DIMENSIONS {sx} {sy} 1\n")
+    buf.write(f"ORIGIN {grid.lx / sx / 2:.6f} {grid.ly / sy / 2:.6f} 0.0\n")
+    buf.write(f"SPACING {grid.lx / sx:.6f} {grid.ly / sy:.6f} 1.0\n")
+    buf.write(f"POINT_DATA {sx * sy}\n")
+    buf.write("SCALARS ftle double 1\nLOOKUP_TABLE default\n")
+    buf.write("\n".join(np.char.mod("%.6f", f.ravel())) + "\n")
+    Path(path).write_text(buf.getvalue())
+
+
 def center_frames(states, grid: Grid):
     """Stack padded center velocities from a list of States (helper for
     driving ftle_field from Simulation history/checkpoints)."""
