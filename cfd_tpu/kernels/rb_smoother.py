@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                   wN: np.ndarray, wS: np.ndarray, idx2: float, idy2: float,
-                  omega: float, n_pairs: int, tile_rows: int = 256,
+                  omega: float, n_pairs: int, tile_rows: int = 64,
                   interpret: bool = False):
     """Build pairs(p, b) -> p after ``n_pairs`` red+black sweeps.
 
@@ -46,9 +46,13 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
       wN, wS: (H,) north/south coupling vectors.
       interpret: run in interpreter mode (CPU tests).
     """
-    H, W = shape
-    ny, nx = H - 2, W - 2
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    # Mosaic alignment: dynamic row offsets/slices need sublane (8) multiples,
+    # the lane dimension needs 128 multiples — pad both; padding rows/cols
+    # sit beyond the ghost ring and are masked out of every update.
     H8 = _round_up(H, 8)
+    W = _round_up(Wp, 128)
     halo = _round_up(2 * n_pairs, 8)
     T = min(_round_up(tile_rows, 8), H8)
     if T + 2 * halo >= H8 or H8 % T:
@@ -56,8 +60,12 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     slab = min(T + 2 * halo, H8)
     n_tiles = H8 // T
 
-    wE_v = jnp.asarray(wE, jnp.float32).reshape(1, W)
-    wW_v = jnp.asarray(wW, jnp.float32).reshape(1, W)
+    we_np = np.zeros(W)
+    we_np[:Wp] = np.asarray(wE)
+    ww_np = np.zeros(W)
+    ww_np[:Wp] = np.asarray(wW)
+    wE_v = jnp.asarray(we_np, jnp.float32).reshape(1, W)
+    wW_v = jnp.asarray(ww_np, jnp.float32).reshape(1, W)
     wn_np = np.zeros(H8)
     wn_np[:H] = np.asarray(wN)
     ws_np = np.zeros(H8)
@@ -149,10 +157,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
 
     @jax.jit
     def pairs(p, b):
-        pad = H8 - H
-        p8 = jnp.pad(p.astype(jnp.float32), ((0, pad), (0, 0)))
-        b8 = jnp.pad(b.astype(jnp.float32), ((0, pad), (0, 0)))
-        return fn(p8, b8, wE_v, wW_v, wN_v, wS_v)[:H]
+        p8 = jnp.pad(p.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
+        b8 = jnp.pad(b.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
+        return fn(p8, b8, wE_v, wW_v, wN_v, wS_v)[:H, :Wp]
 
     return pairs
 

@@ -133,6 +133,11 @@ def test_projection_produces_divergence_free_field():
 
 
 def test_kinetic_energy_plateaus():
+    """KE rises from rest and decelerates toward the steady state (the
+    reference's de-facto regression signal, SURVEY.md section 4.2). The
+    plateau is asymptotic, so assert deceleration — relative growth in the
+    last window at least 10x below the first window — rather than a fixed
+    small-change threshold that depends on exactly where the run stops."""
     case = make_cavity_case(n_interior=15, final_time=20.0)
     sim = Simulation(case, log=quiet)
     state = sim.initial_state()
@@ -141,5 +146,7 @@ def test_kinetic_energy_plateaus():
         for _ in range(10):
             state, _ = sim._step(state)
         ke.append(sim.statistics(state)["avg_kinetic_energy"])
-    # monotone-ish rise then plateau: last two samples within 1%
-    assert abs(ke[-1] - ke[-2]) < 0.01 * ke[-1]
+    assert ke[-1] > ke[0] > 0
+    growth_first = (ke[1] - ke[0]) / ke[1]
+    growth_last = (ke[-1] - ke[-2]) / ke[-1]
+    assert 0 <= growth_last < growth_first / 10
