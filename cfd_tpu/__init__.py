@@ -11,9 +11,9 @@ Reference layer map: SURVEY.md section 1 (cavity-01.cpp, channel-01.cpp,
 backwards_step-01.cpp).
 """
 
-from cfd_tpu.grid import Grid
+from cfd_tpu.grid import Grid, cfl_time_step, optimal_omega
 from cfd_tpu.state import State
 
 __version__ = "0.1.0"
 
-__all__ = ["Grid", "State", "__version__"]
+__all__ = ["Grid", "State", "cfl_time_step", "optimal_omega", "__version__"]

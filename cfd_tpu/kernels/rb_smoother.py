@@ -55,10 +55,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     W = _round_up(Wp, 128)
     halo = _round_up(2 * n_pairs, 8)
     T = min(_round_up(tile_rows, 8), H8)
-    if T + 2 * halo >= H8 or H8 % T:
-        T = H8  # small level (or non-dividing tile): one whole-array tile
+    if T + 2 * halo >= H8:
+        T = H8  # small level: one whole-array tile
     slab = min(T + 2 * halo, H8)
-    n_tiles = H8 // T
+    n_tiles = -(-H8 // T)  # last tile clamps (overlap writes identical rows)
 
     we_np = np.zeros(W)
     we_np[:Wp] = np.asarray(wE)
@@ -76,7 +76,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, out_hbm,
                p_s, b_s, sems):
         i = pl.program_id(0)
-        r0 = (i * T).astype(jnp.int32)  # output rows [r0, r0+T); T | H8
+        # output rows [r0, r0+T); the last tile clamps to H8-T and overlaps
+        # its predecessor (identical recomputed rows). All offsets are
+        # multiples of 8 (T and H8 are).
+        r0 = pl.multiple_of(jnp.minimum(i * T, H8 - T).astype(jnp.int32), 8)
         s = jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32)
         s = pl.multiple_of(s, 8)
 

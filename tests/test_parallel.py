@@ -8,12 +8,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cfd_tpu.cases import make_cavity_case, make_channel_case, make_rayleigh_benard_case
+from cfd_tpu.cases import make_cavity_case, make_rayleigh_benard_case
 from cfd_tpu.parallel import ShardedCavity, gspmd_step, make_mesh
 from cfd_tpu.parallel.halo import exchange_halos, pad_local
 from cfd_tpu.parallel.mesh import factor_2d, grid_sharding
 from cfd_tpu.solver import Simulation
-from cfd_tpu.state import State
 
 try:
     from jax import shard_map as _sm
