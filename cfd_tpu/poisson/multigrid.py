@@ -260,11 +260,18 @@ def _residual(level: _Level, p, b, interior=None):
 
 
 def _restrict(fine: _Level, coarse: _Level, r):
-    """Full-weighting: coarse cell value = mean of its 4 fine children."""
+    """Full-weighting: coarse cell value = mean of its 4 fine children.
+
+    Implemented with ``lax.reduce_window`` (native TPU windowed reduction):
+    the obvious ``reshape(ny_c, 2, nx_c, 2).mean((1, 3))`` forces a layout
+    change on the offset-sliced operand that costs ~3 ms per call at 2048^2
+    inside the compiled V-cycle (profiled: the single most expensive op in
+    the whole solver), vs ~0.02 ms for the windowed form."""
     ny_f, nx_f = fine.shape[0] - 2, fine.shape[1] - 2
     ny_c, nx_c = coarse.shape[0] - 2, coarse.shape[1] - 2
-    blocks = r[1 : ny_f + 1, 1 : nx_f + 1].reshape(ny_c, 2, nx_c, 2)
-    rc = blocks.mean(axis=(1, 3))
+    inner = r[1 : ny_f + 1, 1 : nx_f + 1]
+    rc = jax.lax.reduce_window(inner, jnp.zeros((), r.dtype), jax.lax.add,
+                               (2, 2), (2, 2), "VALID") * 0.25
     out = jnp.zeros(coarse.shape, dtype=r.dtype)
     return out.at[1 : ny_c + 1, 1 : nx_c + 1].set(rc)
 
