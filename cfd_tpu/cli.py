@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--metrics-csv", default=None, help="write metric rows to CSV")
         sp.add_argument("--print-interval", type=int, default=None)
         sp.add_argument("--save-interval", type=int, default=None)
+        sp.add_argument("--poisson", choices=["auto", "sor", "multigrid"],
+                        default="auto",
+                        help="pressure solver (auto: SOR at reference sizes, "
+                             "multigrid at scale)")
         sp.add_argument("--poisson-check-every", type=int, default=1,
                         help="sweeps between residual checks (amortizes the "
                              "global reduction; reference checks every sweep)")
@@ -75,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_case_from_args(args):
     kw = dict(dt=args.dt, final_time=args.T,
-              poisson_check_every=args.poisson_check_every)
+              poisson_check_every=args.poisson_check_every,
+              poisson=args.poisson)
     kw = {k: v for k, v in kw.items() if v is not None}
     if args.precision == "f32":
         import jax.numpy as jnp
@@ -105,6 +110,7 @@ def make_case_from_args(args):
 
         kw.pop("final_time", None)
         kw.pop("poisson_check_every", None)  # RB uses multigrid (cycle-based)
+        kw.pop("poisson", None)
         return make_rayleigh_benard_case(
             nx=args.Nx, ny=args.Ny, rayleigh=args.Ra, prandtl=args.Pr,
             final_time=args.T, **kw)

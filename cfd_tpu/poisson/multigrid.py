@@ -395,8 +395,13 @@ def make_multigrid_poisson(
     bot_ny, bot_nx = bot.shape[0] - 2, bot.shape[1] - 2
 
     if use_pallas == "auto":
+        # the platform computations actually land on: jax_default_device wins
+        # over the default backend (tests pin it to host CPU while the axon
+        # TPU plugin stays the default backend)
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
         use_pallas = (np.dtype(dtype) == np.float32
-                      and jax.default_backend() == "tpu"
+                      and platform == "tpu"
                       and all(lv.separable for lv in levels))
     pallas_pairs = {}
     if use_pallas:
