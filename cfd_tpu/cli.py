@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="f64 matches the C++ reference; f32 for speed")
         sp.add_argument("--out", default="vtk_output", help="VTK output directory")
         sp.add_argument("--no-vtk", action="store_true", help="disable VTK export")
+        sp.add_argument("--sync-io", action="store_true",
+                        help="write VTK snapshots synchronously in the time "
+                             "loop (default: background writer thread)")
         sp.add_argument("--metrics-jsonl", default=None, help="write metric rows to JSONL")
         sp.add_argument("--metrics-csv", default=None, help="write metric rows to CSV")
         sp.add_argument("--print-interval", type=int, default=None)
@@ -126,6 +129,10 @@ def main(argv=None) -> int:
     from cfd_tpu.solver import Simulation
 
     exporter = None if args.no_vtk else exporter_for_case(case, out_dir=args.out)
+    if exporter is not None and not args.sync_io:
+        from cfd_tpu.io.async_writer import AsyncExporter
+
+        exporter = AsyncExporter(exporter)
     collector = None
     if getattr(args, "ftle_window", 0):
         from cfd_tpu.physics.ftle import FrameCollector

@@ -109,3 +109,44 @@ def test_cli_rejects_rectangular_cavity():
     args = build_parser().parse_args(["cavity", "--Nx", "32", "--Ny", "16"])
     with pytest.raises(SystemExit):
         make_case_from_args(args)
+
+
+def test_async_exporter_produces_identical_files(tmp_path):
+    """AsyncExporter output is byte-identical to synchronous export and the
+    collection contains every frame."""
+    from cfd_tpu.io.async_writer import AsyncExporter
+    from cfd_tpu.io.vtk import exporter_for_case
+
+    case = make_channel_case(nx=16, ny=8, final_time=1.0)
+    sim_sync = Simulation(case, exporter=exporter_for_case(case, tmp_path / "sync"),
+                          log=quiet)
+    sim_async = Simulation(
+        case, exporter=AsyncExporter(exporter_for_case(case, tmp_path / "async")),
+        log=quiet)
+    sim_sync.run(n_steps=4)
+    sim_async.run(n_steps=4)
+    sync_files = sorted((tmp_path / "sync").glob("*.vtk"))
+    async_files = sorted((tmp_path / "async").glob("*.vtk"))
+    assert [f.name for f in sync_files] == [f.name for f in async_files]
+    for a, b in zip(sync_files, async_files):
+        assert a.read_text() == b.read_text(), a.name
+    assert (tmp_path / "async" / "channel_flow_animation.pvd").read_text() == \
+        (tmp_path / "sync" / "channel_flow_animation.pvd").read_text()
+
+
+def test_async_exporter_surfaces_worker_errors(tmp_path):
+    from cfd_tpu.io.async_writer import AsyncExporter
+
+    def boom(state, step, t):
+        raise RuntimeError("disk full")
+
+    exp = AsyncExporter(boom)
+    case = make_channel_case(nx=16, ny=8, final_time=1.0)
+    sim = Simulation(case, log=quiet)
+    st = sim.initial_state()
+    exp(st, 1, 0.1)
+    import time as _t
+
+    _t.sleep(0.2)
+    with pytest.raises(RuntimeError, match="disk full"):
+        exp.close()
