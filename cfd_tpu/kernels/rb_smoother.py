@@ -37,7 +37,7 @@ def _round_up(x: int, m: int) -> int:
 def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                   wN: np.ndarray, wS: np.ndarray, idx2: float, idy2: float,
                   omega: float, n_pairs: int, tile_rows: int = 64,
-                  interpret: bool = False):
+                  interpret: bool = False, with_residual: bool = False):
     """Build pairs(p, b) -> p after ``n_pairs`` red+black sweeps.
 
     Args:
@@ -45,6 +45,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
       wE, wW: (W,) east/west coupling vectors (0 outside interior columns).
       wN, wS: (H,) north/south coupling vectors.
       interpret: run in interpreter mode (CPU tests).
+      with_residual: also return max|b - A p| of the smoothed state — fused
+        into the same kernel (each tile owns disjoint output rows whose +-1
+        neighbors are valid in its slab), saving a full extra HBM pass per
+        tolerance check.
     """
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
@@ -73,8 +77,11 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     wN_v = jnp.asarray(wn_np, jnp.float32).reshape(H8, 1)
     wS_v = jnp.asarray(ws_np, jnp.float32).reshape(H8, 1)
 
-    def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, out_hbm,
-               p_s, b_s, sems):
+    def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, *out_and_scratch):
+        if with_residual:
+            out_hbm, res_ref, p_s, b_s, sems = out_and_scratch
+        else:
+            out_hbm, p_s, b_s, sems = out_and_scratch
         i = pl.program_id(0)
         # output rows [r0, r0+T); the last tile clamps to H8-T and overlaps
         # its predecessor (identical recomputed rows). All offsets are
@@ -129,6 +136,19 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             lo = 2 * k + 1
             p = half(p, interior & even & band(lo))
             p = half(p, interior & ~even & band(lo + 1))
+        if with_residual:
+            # residual of the smoothed state over this tile's own rows
+            # (rows r0..r0+T-1 and their +-1 neighbors are valid: halo >= 8
+            # while n_pairs consumes only 2*n_pairs rows)
+            pE = jnp.roll(p, -1, axis=1)
+            pW = jnp.roll(p, 1, axis=1)
+            pN = jnp.roll(p, -1, axis=0)
+            pS = jnp.roll(p, 1, axis=0)
+            ap = (idx2 * (we * (pE - p) + ww * (pW - p))
+                  + idy2 * (wn * (pN - p) + ws * (pS - p)))
+            own = interior & (grow >= r0) & (grow < r0 + T)
+            r = jnp.where(own, jnp.abs(b - ap), jnp.zeros_like(b))
+            res_ref[0, 0] = jnp.max(r)
         p_s[:] = p  # write back into the slab scratch; DMA a ref slice out
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         out = pltpu.make_async_copy(p_s.at[pl.ds(off, T), :],
@@ -136,6 +156,13 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         out.start()
         out.wait()
 
+    out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
+    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    if with_residual:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                  memory_space=pltpu.SMEM))
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -147,8 +174,8 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((H8, W), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((slab, W), jnp.float32),
             pltpu.VMEM((slab, W), jnp.float32),
@@ -162,12 +189,16 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     def pairs(p, b):
         p8 = jnp.pad(p.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
         b8 = jnp.pad(b.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
+        if with_residual:
+            out, res = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
+            return out[:H, :Wp], jnp.max(res)
         return fn(p8, b8, wE_v, wW_v, wN_v, wS_v)[:H, :Wp]
 
     return pairs
 
 
-def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = False):
+def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = False,
+                       with_residual: bool = False):
     """Adapter from a multigrid ``_Level`` (separable) to the kernel."""
     if not level.separable:
         raise ValueError("pallas rb smoother requires a separable level")
@@ -178,4 +209,5 @@ def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = Fals
         np.asarray(level.wW).reshape(W),
         np.asarray(level.wN).reshape(H),
         np.asarray(level.wS).reshape(H),
-        level.idx2, level.idy2, omega, n_pairs, interpret=interpret)
+        level.idx2, level.idy2, omega, n_pairs, interpret=interpret,
+        with_residual=with_residual)

@@ -404,6 +404,7 @@ def make_multigrid_poisson(
                       and platform == "tpu"
                       and all(lv.separable for lv in levels))
     pallas_pairs = {}
+    pallas_post0_res = None
     if use_pallas:
         from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
 
@@ -412,6 +413,14 @@ def make_multigrid_poisson(
                 n: rb_pairs_for_level(lv, cfg.omega, n)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
+        if exact_level0 is None and not cfg.pin_mean:
+            # fold the tolerance-check residual into the level-0 post-smooth
+            # kernel (saves a full HBM pass + reduce per cycle; with
+            # pin_mean the residual must be taken after the mean shift, so
+            # the fused value would only be valid for exactly-null-space
+            # constants — keep the separate pass there)
+            pallas_post0_res = rb_pairs_for_level(
+                levels[0], cfg.omega, cfg.post_sweeps, with_residual=True)
 
     def smooth_pair(level, p, b, n, level_idx=None):
         if level_idx is not None and level_idx in pallas_pairs:
@@ -452,6 +461,8 @@ def make_multigrid_poisson(
         ec = vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
         p = p + _prolong(levels[k + 1], level, ec)
         if k == 0:
+            if pallas_post0_res is not None:
+                return pallas_post0_res(p, b)  # (p, residual_inf) fused
             return smooth0(p, b, cfg.post_sweeps)
         return smooth_pair(level, p, b, cfg.post_sweeps, level_idx=k)
 
@@ -470,12 +481,16 @@ def make_multigrid_poisson(
 
         def body(carry):
             p, res, _, it = carry
-            p = vcycle(0, p, b)
-            if cfg.pin_mean:
-                mean = jnp.sum(p) / n_int  # p is 0 outside interior
-                p = jnp.where(top_interior, p - mean, p)
-            new_res = jnp.max(jnp.abs(residual0(p, b)))
-            return p, new_res, res, it + 1
+            out = vcycle(0, p, b)
+            if pallas_post0_res is not None:
+                p, new_res = out
+            else:
+                p = out
+                if cfg.pin_mean:
+                    mean = jnp.sum(p) / n_int  # p is 0 outside interior
+                    p = jnp.where(top_interior, p - mean, p)
+                new_res = jnp.max(jnp.abs(residual0(p, b)))
+            return p, new_res.astype(dtype_), res, it + 1
 
         big = jnp.asarray(jnp.finfo(dtype_).max, dtype_)
         init = (p0, big / 2, big, jnp.asarray(0, jnp.int32))

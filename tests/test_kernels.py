@@ -66,3 +66,21 @@ def test_rb_pairs_kernel_on_coarsened_level():
                        interpret=True)
     np.testing.assert_allclose(np.asarray(pk(p, b)),
                                np.asarray(_jnp_pairs(top, p, b, 1)), atol=5e-6)
+
+
+def test_rb_pairs_with_fused_residual_matches_jnp():
+    """with_residual=True returns the smoothed field AND max|b - A p| of it,
+    matching the separate jnp residual pass."""
+    n = 48
+    top, p, b = _setup(M.cavity_problem, n)
+    H, W = top.shape
+    pk = make_rb_pairs((H, W),
+                       np.asarray(top.wE).reshape(W), np.asarray(top.wW).reshape(W),
+                       np.asarray(top.wN).reshape(H), np.asarray(top.wS).reshape(H),
+                       top.idx2, top.idy2, 1.0, n_pairs=2, tile_rows=16,
+                       interpret=True, with_residual=True)
+    got_p, got_res = pk(p, b)
+    want_p = _jnp_pairs(top, p, b, 2)
+    want_res = float(jnp.max(jnp.abs(M._residual(top, want_p, b))))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=5e-7)
+    assert abs(float(got_res) - want_res) < 5e-4 * max(want_res, 1.0)
