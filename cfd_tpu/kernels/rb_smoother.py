@@ -148,7 +148,16 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                   + idy2 * (wn * (pN - p) + ws * (pS - p)))
             own = interior & (grow >= r0) & (grow < r0 + T)
             r = jnp.where(own, jnp.abs(b - ap), jnp.zeros_like(b))
-            res_ref[0, 0] = jnp.max(r)
+            tile_max = jnp.max(r)
+            # running max across the (sequential) grid into one SMEM scalar
+
+            @pl.when(i == 0)
+            def _():
+                res_ref[0, 0] = tile_max
+
+            @pl.when(i > 0)
+            def _():
+                res_ref[0, 0] = jnp.maximum(res_ref[0, 0], tile_max)
         p_s[:] = p  # write back into the slab scratch; DMA a ref slice out
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         out = pltpu.make_async_copy(p_s.at[pl.ds(off, T), :],
@@ -159,10 +168,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
     out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
     if with_residual:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 1), lambda i: (i, 0),
-                                  memory_space=pltpu.SMEM))
+                     pl.BlockSpec(memory_space=pltpu.SMEM))
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -191,7 +199,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         b8 = jnp.pad(b.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
         if with_residual:
             out, res = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
-            return out[:H, :Wp], jnp.max(res)
+            return out[:H, :Wp], res[0, 0]
         return fn(p8, b8, wE_v, wW_v, wN_v, wS_v)[:H, :Wp]
 
     return pairs

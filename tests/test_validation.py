@@ -100,3 +100,20 @@ def test_ghia_tables_are_consistent():
         assert GHIA_V[re][0] == 0.0 and GHIA_V[re][-1] == 0.0
         assert GHIA_U[re][len(GHIA_Y) // 2] < 0  # return flow below center
     assert len(GHIA_Y) == 17 and len(GHIA_X) == 17
+
+
+@pytest.mark.slow
+def test_cavity_re1000_matches_ghia():
+    """Re=1000 (the reference's headline config, README.md:27) at 64^2 to
+    t=30 vs Ghia et al.; measured RMS ~0.015 at this resolution."""
+    case = make_cavity_case(n_interior=64, reynolds_number=1000.0,
+                            final_time=30.0, poisson="multigrid",
+                            tolerance_factor=1e-8)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    for _ in range(case.total_steps):
+        state, _ = sim._step(state)
+    errs = ghia_errors(state.u, state.v, case.grid, 1000)
+    assert errs["u_rms"] < 0.03, errs
+    assert errs["v_rms"] < 0.03, errs
+    assert errs["u_max"] < 0.05, errs
