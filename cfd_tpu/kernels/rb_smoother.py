@@ -83,19 +83,41 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         else:
             out_hbm, p_s, b_s, sems = out_and_scratch
         i = pl.program_id(0)
+
         # output rows [r0, r0+T); the last tile clamps to H8-T and overlaps
         # its predecessor (identical recomputed rows). All offsets are
         # multiples of 8 (T and H8 are).
-        r0 = pl.multiple_of(jnp.minimum(i * T, H8 - T).astype(jnp.int32), 8)
-        s = jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32)
-        s = pl.multiple_of(s, 8)
+        def coords(t):
+            r0 = pl.multiple_of(jnp.minimum(t * T, H8 - T).astype(jnp.int32), 8)
+            s = pl.multiple_of(jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32), 8)
+            return r0, s
 
-        in_p = pltpu.make_async_copy(p_hbm.at[pl.ds(s, slab), :], p_s, sems.at[0])
-        in_b = pltpu.make_async_copy(b_hbm.at[pl.ds(s, slab), :], b_s, sems.at[1])
-        in_p.start()
-        in_b.start()
-        in_p.wait()
-        in_b.wait()
+        r0, s = coords(i)
+        # Double-buffered input DMA: grid steps run sequentially, so start
+        # the NEXT tile's slab copies before waiting on this tile's — the
+        # transfers overlap this tile's compute.
+        slot = jax.lax.rem(i.astype(jnp.int32), jnp.int32(2))
+        nxt = jax.lax.rem((i + 1).astype(jnp.int32), jnp.int32(2))
+
+        def start_in(t, sl):
+            _, st = coords(t)
+            pltpu.make_async_copy(p_hbm.at[pl.ds(st, slab), :], p_s.at[sl],
+                                  sems.at[sl, 0]).start()
+            pltpu.make_async_copy(b_hbm.at[pl.ds(st, slab), :], b_s.at[sl],
+                                  sems.at[sl, 1]).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_in(0, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_in(i + 1, nxt)
+
+        pltpu.make_async_copy(p_hbm.at[pl.ds(s, slab), :], p_s.at[slot],
+                              sems.at[slot, 0]).wait()
+        pltpu.make_async_copy(b_hbm.at[pl.ds(s, slab), :], b_s.at[slot],
+                              sems.at[slot, 1]).wait()
 
         grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
@@ -108,7 +130,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         ws = ws_ref[pl.ds(s, slab), :]
         denom = idx2 * (we + ww) + idy2 * (wn + ws)
         inv = jnp.where(interior, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
-        b = b_s[:]
+        b = b_s[slot]
 
         def half(p, mask):
             pE = jnp.roll(p, -1, axis=1)
@@ -119,7 +141,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             upd = p + omega * (gs - p)
             return jnp.where(mask, upd, p)
 
-        p = p_s[:]
+        p = p_s[slot]
         # The valid band shrinks by one slab row per half-sweep — except
         # where the slab reaches a physical domain edge: ghost/padding rows
         # are never updated, so the dependency chain terminates there.
@@ -158,10 +180,10 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             @pl.when(i > 0)
             def _():
                 res_ref[0, 0] = jnp.maximum(res_ref[0, 0], tile_max)
-        p_s[:] = p  # write back into the slab scratch; DMA a ref slice out
+        p_s[slot] = p  # write back into the slab scratch; DMA a ref slice out
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
-        out = pltpu.make_async_copy(p_s.at[pl.ds(off, T), :],
-                                    out_hbm.at[pl.ds(r0, T), :], sems.at[2])
+        out = pltpu.make_async_copy(p_s.at[slot, pl.ds(off, T), :],
+                                    out_hbm.at[pl.ds(r0, T), :], sems.at[slot, 2])
         out.start()
         out.wait()
 
@@ -185,9 +207,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((slab, W), jnp.float32),
-            pltpu.VMEM((slab, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, slab, W), jnp.float32),
+            pltpu.VMEM((2, slab, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),

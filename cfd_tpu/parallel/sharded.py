@@ -23,7 +23,6 @@ cases and the multigrid solver.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
@@ -49,7 +48,6 @@ from cfd_tpu.ops.stencil import StencilCoeffs, predictor, pressure_correction
 from cfd_tpu.ops.stencil import _sh
 
 
-@dataclasses.dataclass
 class ShardedCavity:
     """Explicit shard_map cavity solver over a ("dy", "dx") mesh."""
 

@@ -55,10 +55,13 @@ def test_native_is_faster_at_scale():
 
     rng = np.random.default_rng(2)
     x = rng.standard_normal(1_000_000)
-    t0 = time.perf_counter()
-    native.fmt_scalar_fixed6(x)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _numpy_scalar(x)
-    t_numpy = time.perf_counter() - t0
-    assert t_native < t_numpy, (t_native, t_numpy)
+
+    def best(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f(x)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)  # min-of-N is robust to concurrent machine load
+
+    assert best(native.fmt_scalar_fixed6) < best(_numpy_scalar)
