@@ -16,7 +16,9 @@ from the solver's diagnostics. Wall time is measured over timed steps after
 a compile+warmup phase, with block_until_ready fencing.
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 20),
-BENCH_DTYPE (f32|bf16, default f32), BENCH_TOL (default 1e-6 relative).
+BENCH_DTYPE (f32|bf16, default f32), BENCH_TOL (default 1e-6 relative),
+BENCH_CHUNK (steps per dispatch via lax.scan, default 5 — amortizes the
+host->device dispatch latency the way a production driver would).
 """
 
 from __future__ import annotations
@@ -39,29 +41,38 @@ def main() -> None:
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "f32")]
 
+    chunk = int(os.environ.get("BENCH_CHUNK", 5))
     case = make_cavity_case(n_interior=n, poisson="multigrid", dtype=dtype,
                             tolerance_factor=tol)
-    step = jax.jit(make_step(case))
+    step_fn = make_step(case)
+
+    @jax.jit
+    def multi(state):
+        def body(s, _):
+            s2, d = step_fn(s)
+            return s2, d.poisson_iters
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
     state = Simulation(case, log=lambda *a: None).initial_state()
 
     # compile + warmup (also spins the flow up so cycle counts are typical)
     t0 = time.perf_counter()
-    state, diag = step(state)
+    state, iters = multi(state)
     jax.block_until_ready(state.u)
     compile_s = time.perf_counter() - t0
-    for _ in range(3):
-        state, diag = step(state)
-    jax.block_until_ready(state.u)
 
+    n_chunks = max(1, steps // chunk)
+    steps = n_chunks * chunk
     cycles = []
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, diag = step(state)
-        cycles.append(diag.poisson_iters)
+    for _ in range(n_chunks):
+        state, iters = multi(state)
+        cycles.append(iters)
     jax.block_until_ready(state.u)
     wall = time.perf_counter() - t0
 
-    mean_cycles = float(sum(int(c) for c in cycles)) / steps
+    mean_cycles = float(sum(int(c.sum()) for c in cycles)) / steps
     updates_per_cell_step = 5.0 + (16.0 / 3.0) * mean_cycles
     cells = n * n
     value = cells * updates_per_cell_step * steps / wall

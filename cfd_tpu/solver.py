@@ -145,6 +145,7 @@ class Simulation:
             )
         )
         self._extra_stats = jax.jit(case.extra_stats) if case.extra_stats else None
+        self._multi_cache: dict[int, Callable] = {}
         self.history: list[dict] = []
         self.checkpointer = None  # io.checkpoint.CheckpointManager or None
         # Failure detection (SURVEY.md section 5.3): the reference continues
@@ -165,9 +166,31 @@ class Simulation:
             row.update({k: float(x) for k, x in self._extra_stats(state).items()})
         return row
 
+    def _multi_step(self, spc: int):
+        """jitted scan of ``spc`` steps per dispatch (amortizes host->device
+        dispatch latency on large grids; ~1 ms per call over this TPU
+        tunnel)."""
+        if spc not in self._multi_cache:
+            step = make_step(self.case)
+
+            def body(s, _):
+                s2, d = step(s)
+                return s2, d
+
+            self._multi_cache[spc] = jax.jit(
+                lambda s: jax.lax.scan(body, s, None, length=spc))
+        return self._multi_cache[spc]
+
     def run(self, state: Optional[State] = None, n_steps: Optional[int] = None,
-            start_step: int = 0) -> State:
+            start_step: int = 0, steps_per_call: int = 1) -> State:
         case = self.case
+        if steps_per_call > 1:
+            for iv in (case.print_interval, case.save_interval):
+                if iv % steps_per_call:
+                    raise ValueError(
+                        f"steps_per_call={steps_per_call} must divide "
+                        f"print/save intervals ({case.print_interval}, "
+                        f"{case.save_interval})")
         if state is None:
             state = self.initial_state()
             if self.exporter is not None and start_step == 0:
@@ -176,9 +199,15 @@ class Simulation:
         n_cells = case.grid.n_fluid
         t_wall0 = time.perf_counter()
         prev_k, prev_wall = start_step, t_wall0
-        for k in range(start_step + 1, n + 1):
+        multi = self._multi_step(steps_per_call) if steps_per_call > 1 else None
+        for k in range(start_step + steps_per_call, n + 1, steps_per_call):
             t = k * case.dt
-            state, diag = self._step(state)
+            if multi is not None:
+                state, diags = multi(state)
+                diag = StepDiagnostics(diags.poisson_iters[-1],
+                                       diags.poisson_residual[-1])
+            else:
+                state, diag = self._step(state)
             last = k == case.total_steps
             if k % case.print_interval == 0 or last:
                 now = time.perf_counter()
@@ -214,6 +243,10 @@ class Simulation:
                 self.exporter(state, k, t)
             if self.checkpointer is not None:
                 self.checkpointer.maybe_save(state, k)
+        # leftover steps when steps_per_call does not divide the range
+        done = start_step + ((n - start_step) // steps_per_call) * steps_per_call
+        for k in range(done + 1, n + 1):
+            state, _ = self._step(state)
         if self.exporter is not None and hasattr(self.exporter, "write_collection"):
             self.exporter.write_collection()
         return state

@@ -150,3 +150,27 @@ def test_kinetic_energy_plateaus():
     growth_first = (ke[1] - ke[0]) / ke[1]
     growth_last = (ke[-1] - ke[-2]) / ke[-1]
     assert 0 <= growth_last < growth_first / 10
+
+
+def test_steps_per_call_matches_stepwise():
+    """Chunked (lax.scan) execution reproduces the stepwise trajectory and
+    diagnostics rows."""
+    case = make_channel_case(nx=16, ny=8, final_time=1.0, print_interval=2)
+    sim_a = Simulation(case, log=quiet)
+    sim_b = Simulation(case, log=quiet)
+    sa = sim_a.run(n_steps=6)
+    sb = sim_b.run(n_steps=6, steps_per_call=2)
+    np.testing.assert_array_equal(np.asarray(sa.u), np.asarray(sb.u))
+    np.testing.assert_array_equal(np.asarray(sa.p), np.asarray(sb.p))
+    assert [r["step"] for r in sim_a.history] == [r["step"] for r in sim_b.history]
+    for ra, rb in zip(sim_a.history, sim_b.history):
+        assert ra["poisson_iters"] == rb["poisson_iters"]
+        assert ra["max_divergence"] == rb["max_divergence"]
+
+
+def test_steps_per_call_must_divide_intervals():
+    case = make_channel_case(nx=16, ny=8, final_time=1.0, print_interval=3)
+    sim = Simulation(case, log=quiet)
+    import pytest
+    with pytest.raises(ValueError, match="steps_per_call"):
+        sim.run(n_steps=6, steps_per_call=2)
