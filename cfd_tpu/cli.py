@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="f64 matches the C++ reference; f32 for speed")
         sp.add_argument("--out", default="vtk_output", help="VTK output directory")
         sp.add_argument("--no-vtk", action="store_true", help="disable VTK export")
+        sp.add_argument("--steps-per-call", type=int, default=1,
+                        help="advance N steps per device dispatch (lax.scan); "
+                             "must divide print/save intervals")
         sp.add_argument("--sync-io", action="store_true",
                         help="write VTK snapshots synchronously in the time "
                              "loop (default: background writer thread)")
@@ -167,9 +170,11 @@ def main(argv=None) -> int:
 
     if args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
-            sim.run(state=state, n_steps=args.steps, start_step=start_step)
+            sim.run(state=state, n_steps=args.steps, start_step=start_step,
+                    steps_per_call=args.steps_per_call)
     else:
-        sim.run(state=state, n_steps=args.steps, start_step=start_step)
+        sim.run(state=state, n_steps=args.steps, start_step=start_step,
+                steps_per_call=args.steps_per_call)
     if collector is not None and len(collector.times) >= 2:
         from pathlib import Path
 
