@@ -70,6 +70,7 @@ def make_cavity_case(
         raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="cavity",
+        extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,
         ordering="cavity",

@@ -43,6 +43,8 @@ class CheckpointManager:
                   "p": np.asarray(state.p), "step": np.asarray(step)}
         if state.T is not None:
             arrays["T"] = np.asarray(state.T)
+        if state.p_prev is not None:
+            arrays["p_prev"] = np.asarray(state.p_prev)
         np.savez(tmp, **arrays)
         os.replace(tmp, path)  # atomic on POSIX
         self._prune()
@@ -66,6 +68,7 @@ class CheckpointManager:
                 v=jnp.asarray(z["v"], dtype=dtype),
                 p=jnp.asarray(z["p"], dtype=dtype),
                 T=jnp.asarray(z["T"], dtype=dtype) if "T" in z else None,
+                p_prev=jnp.asarray(z["p_prev"], dtype=dtype) if "p_prev" in z else None,
             )
             return state, int(z["step"])
 

@@ -217,21 +217,12 @@ def gspmd_step(case, mesh):
     step = make_step(case)
     sharding = NamedSharding(mesh, P("dy", "dx"))
 
+    def constrain(state: State) -> State:
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sharding), state)
+
     def sharded(state: State):
-        state = State(
-            u=jax.lax.with_sharding_constraint(state.u, sharding),
-            v=jax.lax.with_sharding_constraint(state.v, sharding),
-            p=jax.lax.with_sharding_constraint(state.p, sharding),
-            T=None if state.T is None
-            else jax.lax.with_sharding_constraint(state.T, sharding),
-        )
-        new, diag = step(state)
-        return State(
-            u=jax.lax.with_sharding_constraint(new.u, sharding),
-            v=jax.lax.with_sharding_constraint(new.v, sharding),
-            p=jax.lax.with_sharding_constraint(new.p, sharding),
-            T=None if new.T is None
-            else jax.lax.with_sharding_constraint(new.T, sharding),
-        ), diag
+        new, diag = step(constrain(state))
+        return constrain(new), diag
 
     return jax.jit(sharded)

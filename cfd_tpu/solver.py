@@ -68,6 +68,10 @@ class Case:
     # Boussinesq): a step-builder taking the Case and returning the step
     # function, extra jitted per-state scalars for the stats row, an initial
     # state override, and extra exported VTK fields.
+    # Extrapolated Poisson warm start (p_guess = 2 p_n - p_{n-1}): fewer
+    # multigrid cycles to the same tolerance; the SOR cavity flavor ignores
+    # warm starts entirely (reference cold-starts, cavity-01.cpp:610).
+    extrapolate_warm_start: bool = False
     custom_step: Optional[Callable] = None
     extra_stats: Optional[Callable] = None  # (State) -> dict[str, scalar]
     initial_state_fn: Optional[Callable] = None  # () -> State
@@ -91,17 +95,21 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
     cell = jnp.asarray(grid.cell_mask)
     n_fluid = grid.n_fluid
 
+    extrap = case.extrapolate_warm_start
+
     if case.ordering == "cavity":
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
             u, v = bc(state.u, state.v)
             us, vs = predictor(u, v, c, u_valid, v_valid)
             b = poisson_source(us, vs, c, cell, remove_mean=False, n_cells=n_fluid)
-            p, iters, res = case.poisson_solve(state.p, b)
+            guess = 2.0 * state.p - state.p_prev if extrap else state.p
+            p, iters, res = case.poisson_solve(guess, b)
             u2, v2 = pressure_correction(
                 us, vs, p, c, u_valid, v_valid, u_else=u, v_else=v, cavity_form=True
             )
-            return State(u2, v2, p, state.T), StepDiagnostics(iters, res)
+            return State(u2, v2, p, state.T, state.p if extrap else None), \
+                StepDiagnostics(iters, res)
 
     elif case.ordering == "channel":
         zero_else = True  # invalid in-range faces are zeroed (backwards_step-01.cpp:956,972)
@@ -158,7 +166,8 @@ class Simulation:
             return self.case.initial_state_fn()
         s = State.zeros(self.case.grid.shape, dtype=self.case.dtype)
         u, v = self.case.velocity_bc(s.u, s.v)
-        return State(u, v, s.p, s.T)
+        p_prev = s.p if self.case.extrapolate_warm_start else None
+        return State(u, v, s.p, s.T, p_prev)
 
     def statistics(self, state: State) -> dict[str, float]:
         row = {k: float(x) for k, x in self._stats(state.u, state.v).items()}

@@ -20,6 +20,10 @@ class State(NamedTuple):
     v: jnp.ndarray  # y-velocity on y-faces, shape (ny+2, nx+2)
     p: jnp.ndarray  # pressure at cell centers, shape (ny+2, nx+2)
     T: Optional[jnp.ndarray] = None  # temperature (Boussinesq cases only)
+    # previous-step pressure, carried only by cases using extrapolated
+    # Poisson warm starts (p_guess = 2 p_n - p_{n-1}; same fixed point,
+    # fewer cycles to tolerance)
+    p_prev: Optional[jnp.ndarray] = None
 
     @staticmethod
     def zeros(shape: tuple[int, int], dtype=jnp.float32, with_temperature: bool = False) -> "State":
