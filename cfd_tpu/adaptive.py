@@ -1,0 +1,125 @@
+"""Adaptive time stepping (Courant-limited), the reference's documented
+OpenFOAM workflow knob (`adjustTimeStep yes; maxCo 0.7`, README.md:112-114)
+brought to the solver cases.
+
+TPU-native design: dt enters the jitted step as a TRACED scalar, so changing
+it never recompiles (the same trick the vmapped ensembles use for per-member
+viscosity). The controller runs host-side between dispatches:
+
+    dt_next = dt * min(growth, max_co / Co_n)
+
+with the Courant number Co = dt * max(|u|/dx + |v|/dy) estimated from the
+face-velocity maxima already produced by the statistics pass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from cfd_tpu.ops.stencil import StencilCoeffs, poisson_source, predictor, pressure_correction
+from cfd_tpu.state import State, StepDiagnostics
+
+
+def make_adaptive_step(case) -> Callable:
+    """step(state, dt) -> (state, diag, courant_per_dt) with dt traced.
+
+    Supports the plain projection orderings (cavity/channel); cases with a
+    custom_step (Boussinesq) would need their own adaptive variant.
+    """
+    if case.custom_step is not None:
+        raise ValueError("adaptive stepping supports the built-in orderings only")
+    grid, c0 = case.grid, case.coeffs
+    bc = case.velocity_bc
+    u_valid = jnp.asarray(grid.u_valid_mask)
+    v_valid = jnp.asarray(grid.v_valid_mask)
+    u_range = jnp.asarray(grid.u_range_mask)
+    v_range = jnp.asarray(grid.v_range_mask)
+    cell = jnp.asarray(grid.cell_mask)
+    n_fluid = grid.n_fluid
+    extrap = case.extrapolate_warm_start
+
+    def courant_per_dt(u, v):
+        """Co/dt = max over faces of |u|/dx + |v|/dy (conservative bound)."""
+        return (jnp.max(jnp.abs(u)) / c0.dx + jnp.max(jnp.abs(v)) / c0.dy)
+
+    def step(state: State, dt):
+        c = StencilCoeffs(dx=c0.dx, dy=c0.dy, dt=dt, viscosity=c0.viscosity,
+                          density=c0.density)
+        if case.ordering == "cavity":
+            u, v = bc(state.u, state.v)
+            us, vs = predictor(u, v, c, u_valid, v_valid)
+            b = poisson_source(us, vs, c, cell, remove_mean=False, n_cells=n_fluid)
+            guess = 2.0 * state.p - state.p_prev if extrap else state.p
+            p, iters, res = case.poisson_solve(guess, b)
+            u2, v2 = pressure_correction(us, vs, p, c, u_valid, v_valid,
+                                         u_else=u, v_else=v, cavity_form=True)
+            new = State(u2, v2, p, state.T, state.p if extrap else None)
+        elif case.ordering == "channel":
+            us, vs = predictor(state.u, state.v, c, u_valid, v_valid)
+            us, vs = bc(us, vs)
+            b = poisson_source(us, vs, c, cell,
+                               remove_mean=case.remove_source_mean, n_cells=n_fluid)
+            guess = 2.0 * state.p - state.p_prev if extrap else state.p
+            p, iters, res = case.poisson_solve(guess, b)
+            zu = jnp.zeros_like(state.u)
+            u_else = jnp.where(u_range, zu, state.u)
+            v_else = jnp.where(v_range, zu, state.v)
+            u2, v2 = pressure_correction(us, vs, p, c, u_valid, v_valid,
+                                         u_else=u_else, v_else=v_else,
+                                         cavity_form=case.cavity_corrector)
+            u2, v2 = bc(u2, v2)
+            new = State(u2, v2, p, state.T, state.p if extrap else None)
+        else:
+            raise ValueError(f"unknown ordering: {case.ordering}")
+        return new, StepDiagnostics(iters, res), courant_per_dt(new.u, new.v)
+
+    return jax.jit(step)
+
+
+def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
+                 final_time: float | None = None, dt0: float | None = None,
+                 growth: float = 1.2, state: State | None = None,
+                 log=None):
+    """Advance with Courant-limited dt until ``n_steps`` or ``final_time``.
+
+    The diffusive stability bound from the case's construction-time dt rule
+    is kept as a hard ceiling (explicit diffusion does not relax as the flow
+    slows). Returns (state, history rows).
+    """
+    case = sim.case
+    log = log if log is not None else sim.log
+    step = make_adaptive_step(case)
+    if state is None:
+        state = sim.initial_state()
+    dt = float(dt0 if dt0 is not None else case.dt)
+    dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
+        / max(case.coeffs.viscosity, 1e-300)
+    t = 0.0
+    k = 0
+    rows = []
+    while True:
+        if n_steps is not None and k >= n_steps:
+            break
+        if final_time is not None and t >= final_time:
+            break
+        state, diag, co_per_dt = step(state, dt)
+        k += 1
+        t += dt
+        co = dt * float(co_per_dt)
+        if k % case.print_interval == 0:
+            row = sim.statistics(state)
+            row.update(step=k, time=t, dt=dt, courant=co,
+                       poisson_iters=int(diag.poisson_iters),
+                       poisson_residual=float(diag.poisson_residual))
+            rows.append(row)
+            log(f"Step {k:6d} | t={t:8.4f} | dt={dt:.3e} | Co={co:.3f}"
+                f" | max(div)={row['max_divergence']:10.2e}"
+                f" | avg_KE={row['avg_kinetic_energy']:10.6f}")
+        # controller: approach max_courant from below, never exceed the
+        # diffusive ceiling; shrink immediately when over the target
+        scale = min(growth, max_courant / max(co, 1e-12))
+        dt = min(dt * scale, dt_ceiling_diffusive)
+    return state, rows

@@ -66,6 +66,7 @@ def make_channel_case(
         raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="channel",
+        extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,
         ordering="channel",

@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="f64 matches the C++ reference; f32 for speed")
         sp.add_argument("--out", default="vtk_output", help="VTK output directory")
         sp.add_argument("--no-vtk", action="store_true", help="disable VTK export")
+        sp.add_argument("--adaptive-dt", type=float, default=None, metavar="MAX_CO",
+                        help="Courant-limited adaptive time stepping toward "
+                             "this max Courant number (the OpenFOAM-workflow "
+                             "adjustTimeStep/maxCo knob, reference "
+                             "README.md:112-114); disables checkpointing")
         sp.add_argument("--steps-per-call", type=int, default=1,
                         help="advance N steps per device dispatch (lax.scan); "
                              "must divide print/save intervals")
@@ -168,7 +173,15 @@ def main(argv=None) -> int:
             print(f"resumed from checkpoint at step {start_step}")
         sim.checkpointer = ckpt
 
-    if args.profile_dir:
+    if args.adaptive_dt is not None:
+        if args.checkpoint_dir:
+            raise SystemExit("--adaptive-dt does not support checkpointing yet")
+        from cfd_tpu.adaptive import run_adaptive
+
+        run_adaptive(sim, max_courant=args.adaptive_dt, n_steps=args.steps,
+                     final_time=None if args.steps else case.final_time,
+                     state=state)
+    elif args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             sim.run(state=state, n_steps=args.steps, start_step=start_step,
                     steps_per_call=args.steps_per_call)

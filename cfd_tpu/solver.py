@@ -120,7 +120,8 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
             b = poisson_source(
                 us, vs, c, cell, remove_mean=case.remove_source_mean, n_cells=n_fluid
             )
-            p, iters, res = case.poisson_solve(state.p, b)
+            guess = 2.0 * state.p - state.p_prev if extrap else state.p
+            p, iters, res = case.poisson_solve(guess, b)
             zu = jnp.zeros_like(state.u)
             u_else = jnp.where(u_range, zu, state.u) if zero_else else state.u
             v_else = jnp.where(v_range, zu, state.v) if zero_else else state.v
@@ -129,7 +130,8 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                 cavity_form=case.cavity_corrector,
             )
             u2, v2 = bc(u2, v2)
-            return State(u2, v2, p, state.T), StepDiagnostics(iters, res)
+            return State(u2, v2, p, state.T, state.p if extrap else None), \
+                StepDiagnostics(iters, res)
 
     else:
         raise ValueError(f"unknown ordering: {case.ordering}")
