@@ -492,7 +492,12 @@ def make_multigrid_poisson(
                 new_res = jnp.max(jnp.abs(residual0(p, b)))
             return p, new_res.astype(dtype_), res, it + 1
 
-        big = jnp.asarray(jnp.finfo(dtype_).max, dtype_)
+        # Finite sentinel, NOT finfo(dtype).max: TPU emulates float64 with
+        # float32 pairs, so 1.8e308 stores as inf and the stall check
+        # (res < stall_ratio * prev) evaluates inf < inf = False — the
+        # while_loop would exit after ZERO cycles (caught by full-trace
+        # comparison vs the golden step run).
+        big = jnp.asarray(1e30, dtype_)
         init = (p0, big / 2, big, jnp.asarray(0, jnp.int32))
         p, res, _, iters = jax.lax.while_loop(cond, body, init)
         return p, iters, res
