@@ -36,12 +36,12 @@ def main() -> None:
     from cfd_tpu.solver import Simulation, make_step
 
     n = int(os.environ.get("BENCH_N", 2048))
-    steps = int(os.environ.get("BENCH_STEPS", 20))
+    steps = int(os.environ.get("BENCH_STEPS", 40))
     tol = float(os.environ.get("BENCH_TOL", 1e-6))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "f32")]
 
-    chunk = int(os.environ.get("BENCH_CHUNK", 5))
+    chunk = int(os.environ.get("BENCH_CHUNK", 10))
     case = make_cavity_case(n_interior=n, poisson="multigrid", dtype=dtype,
                             tolerance_factor=tol)
     step_fn = make_step(case)
