@@ -76,16 +76,18 @@ def make_backwards_step_case(
         # level (ghost refresh incl. solid-cell averaging), weighted
         # approximation on the coarse hierarchy (SURVEY.md "masked multigrid"
         # hard part).
+        mg = MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol)
         solve = make_masked_multigrid_poisson(
-            grid, coeffs,
-            MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol),
-            step_pressure_ghosts(grid), dtype=dtype)
+            grid, coeffs, mg, step_pressure_ghosts(grid), dtype=dtype)
+        poisson_cap = mg.max_cycles
     elif poisson == "sor":
         solve = make_ghost_poisson(grid, coeffs, sor, step_pressure_ghosts(grid))
+        poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="backwards_step",
+        poisson_max_iters=poisson_cap,
         grid=grid,
         coeffs=coeffs,
         ordering="channel",

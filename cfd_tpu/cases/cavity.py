@@ -59,16 +59,20 @@ def make_cavity_case(
         # odd-sized and stays on SOR.
         poisson = "multigrid" if mg_compatible(n_interior, n_interior) and n_interior >= 128 else "sor"
     if poisson == "multigrid":
+        mg = MGConfig(tol_factor=tolerance_factor, abs_tol=0.0)
         solve = make_multigrid_poisson(
             cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
-            MGConfig(tol_factor=tolerance_factor, abs_tol=0.0),
+            mg,
             dtype=dtype,
         )
+        poisson_cap = mg.max_cycles
     elif poisson == "sor":
         solve = make_eps_neumann_poisson(grid, coeffs, sor)
+        poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
+        poisson_max_iters=poisson_cap,
         name="cavity",
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,

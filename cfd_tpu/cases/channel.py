@@ -55,17 +55,21 @@ def make_channel_case(
     if poisson == "auto":
         poisson = "multigrid" if mg_compatible(nx, ny) and max(nx, ny) >= 128 else "sor"
     if poisson == "multigrid":
+        mg = MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol)
         solve = make_multigrid_poisson(
             channel_problem(nx, ny, grid.dx, grid.dy),
-            MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol),
+            mg,
             dtype=dtype,
         )
+        poisson_cap = mg.max_cycles
     elif poisson == "sor":
         solve = make_ghost_poisson(grid, coeffs, sor, channel_pressure_ghosts(grid))
+        poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
     return Case(
         name="channel",
+        poisson_max_iters=poisson_cap,
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,

@@ -72,6 +72,12 @@ class Case:
     # multigrid cycles to the same tolerance; the SOR cavity flavor ignores
     # warm starts entirely (reference cold-starts, cavity-01.cpp:610).
     extrapolate_warm_start: bool = False
+    # Iteration cap of the pressure solver (SOR max_iters or multigrid
+    # max_cycles); when a step's Poisson solve hits it, Simulation.run logs
+    # the reference's non-convergence warning and continues
+    # (cavity-01.cpp:681-684, channel-01.cpp:683-685,
+    # backwards_step-01.cpp:933-935).
+    poisson_max_iters: Optional[int] = None
     custom_step: Optional[Callable] = None
     extra_stats: Optional[Callable] = None  # (State) -> dict[str, scalar]
     initial_state_fn: Optional[Callable] = None  # () -> State
@@ -196,12 +202,14 @@ class Simulation:
             start_step: int = 0, steps_per_call: int = 1) -> State:
         case = self.case
         if steps_per_call > 1:
-            for iv in (case.print_interval, case.save_interval):
+            intervals = {"print": case.print_interval, "save": case.save_interval}
+            if self.checkpointer is not None:
+                intervals["checkpoint"] = self.checkpointer.interval
+            for name, iv in intervals.items():
                 if iv % steps_per_call:
                     raise ValueError(
-                        f"steps_per_call={steps_per_call} must divide "
-                        f"print/save intervals ({case.print_interval}, "
-                        f"{case.save_interval})")
+                        f"steps_per_call={steps_per_call} must divide the "
+                        f"{name} interval ({iv})")
         if state is None:
             state = self.initial_state()
             if self.exporter is not None and start_step == 0:
@@ -210,16 +218,16 @@ class Simulation:
         n_cells = case.grid.n_fluid
         t_wall0 = time.perf_counter()
         prev_k, prev_wall = start_step, t_wall0
-        multi = self._multi_step(steps_per_call) if steps_per_call > 1 else None
-        for k in range(start_step + steps_per_call, n + 1, steps_per_call):
+        cap = case.poisson_max_iters
+        # Per-chunk max Poisson iteration counts, kept as lazy device scalars
+        # and only pulled to host at print cadence, so the non-convergence
+        # check adds no extra host syncs to the hot loop.
+        pending_iter_max: list = []
+
+        def after_step(k: int, state: State, diag: StepDiagnostics) -> None:
+            nonlocal prev_k, prev_wall
             t = k * case.dt
-            if multi is not None:
-                state, diags = multi(state)
-                diag = StepDiagnostics(diags.poisson_iters[-1],
-                                       diags.poisson_residual[-1])
-            else:
-                state, diag = self._step(state)
-            last = k == case.total_steps
+            last = k == n
             if k % case.print_interval == 0 or last:
                 now = time.perf_counter()
                 row = self.statistics(state)
@@ -250,14 +258,44 @@ class Simulation:
                     f" | PPE iters={row['poisson_iters']:4d}"
                     f" | res={row['poisson_residual']:10.2e}"
                 )
+                # Reference-parity non-convergence warning
+                # (cavity-01.cpp:681-684): warn-and-continue when any step
+                # since the last print hit the pressure-solver cap.
+                if cap is not None and pending_iter_max:
+                    worst = max(int(x) for x in pending_iter_max)
+                    pending_iter_max.clear()
+                    if worst >= cap:
+                        self.log(
+                            f"Warning: SOR solver did not converge in {cap} "
+                            f"iterations. Final residual: "
+                            f"{row['poisson_residual']:.6e}")
             if self.exporter is not None and (k % case.save_interval == 0 or last):
                 self.exporter(state, k, t)
             if self.checkpointer is not None:
                 self.checkpointer.maybe_save(state, k)
-        # leftover steps when steps_per_call does not divide the range
-        done = start_step + ((n - start_step) // steps_per_call) * steps_per_call
-        for k in range(done + 1, n + 1):
-            state, _ = self._step(state)
+
+        multi = self._multi_step(steps_per_call) if steps_per_call > 1 else None
+        # main chunked loop + single-step tail when steps_per_call does not
+        # divide the range; both paths share the full diagnostics/export/
+        # checkpoint bookkeeping (after_step).
+        main_end = start_step + ((n - start_step) // steps_per_call) * steps_per_call
+        for k in range(start_step + steps_per_call, main_end + 1, steps_per_call):
+            if multi is not None:
+                state, diags = multi(state)
+                diag = StepDiagnostics(diags.poisson_iters[-1],
+                                       diags.poisson_residual[-1])
+                if cap is not None:
+                    pending_iter_max.append(jnp.max(diags.poisson_iters))
+            else:
+                state, diag = self._step(state)
+                if cap is not None:
+                    pending_iter_max.append(diag.poisson_iters)
+            after_step(k, state, diag)
+        for k in range(main_end + 1, n + 1):
+            state, diag = self._step(state)
+            if cap is not None:
+                pending_iter_max.append(diag.poisson_iters)
+            after_step(k, state, diag)
         if self.exporter is not None and hasattr(self.exporter, "write_collection"):
             self.exporter.write_collection()
         return state

@@ -174,3 +174,52 @@ def test_steps_per_call_must_divide_intervals():
     import pytest
     with pytest.raises(ValueError, match="steps_per_call"):
         sim.run(n_steps=6, steps_per_call=2)
+
+def test_nondividing_steps_per_call_tail_keeps_diagnostics():
+    """Leftover steps (steps_per_call not dividing the range) must still get
+    stats rows / final-step bookkeeping and match the stepwise trajectory
+    (round-1 gap: the tail loop skipped all diagnostics)."""
+    case = make_channel_case(nx=16, ny=8, final_time=1.0, print_interval=2)
+    sim_a = Simulation(case, log=quiet)
+    sim_b = Simulation(case, log=quiet)
+    sa = sim_a.run(n_steps=7)
+    sb = sim_b.run(n_steps=7, steps_per_call=2)  # 3 chunks + 1 leftover step
+    np.testing.assert_array_equal(np.asarray(sa.u), np.asarray(sb.u))
+    np.testing.assert_array_equal(np.asarray(sa.p), np.asarray(sb.p))
+    assert [r["step"] for r in sim_b.history] == [2, 4, 6, 7]
+    for ra, rb in zip(sim_a.history, sim_b.history):
+        assert ra["max_divergence"] == rb["max_divergence"]
+
+
+def test_final_step_row_emitted_for_custom_n_steps():
+    """`last` is based on the requested range, not case.total_steps: a short
+    run still emits its final stats row (reference emits one at its own final
+    step, cavity-01.cpp:393-400)."""
+    case = make_channel_case(nx=16, ny=8, final_time=1.0, print_interval=100)
+    sim = Simulation(case, log=quiet)
+    sim.run(n_steps=3)
+    assert [r["step"] for r in sim.history] == [3]
+
+
+def test_sor_cap_warning_parity():
+    """When the pressure solver hits its iteration cap, Simulation.run logs
+    the reference's warn-and-continue message (cavity-01.cpp:681-684)."""
+    lines = []
+    case = make_cavity_case(n_interior=15, final_time=0.1, print_interval=1,
+                            max_sor_iterations=3)
+    sim = Simulation(case, log=lambda msg: lines.append(str(msg)))
+    sim.run(n_steps=2)
+    warnings = [l for l in lines if "did not converge" in l]
+    assert warnings, f"expected SOR cap warning in {lines}"
+    assert "3 iterations" in warnings[0]
+
+
+def test_steps_per_call_must_divide_checkpoint_interval(tmp_path):
+    from cfd_tpu.io.checkpoint import CheckpointManager
+    case = make_channel_case(nx=16, ny=8, final_time=1.0, print_interval=2,
+                             save_interval=2)
+    sim = Simulation(case, log=quiet)
+    sim.checkpointer = CheckpointManager(tmp_path, interval=3)
+    import pytest
+    with pytest.raises(ValueError, match="checkpoint"):
+        sim.run(n_steps=6, steps_per_call=2)
