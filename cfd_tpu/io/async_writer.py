@@ -14,6 +14,8 @@ from __future__ import annotations
 import queue
 import threading
 
+import numpy as np
+
 
 class AsyncExporter:
     """Wraps an exporter callable (state, step, time) -> None.
@@ -44,14 +46,14 @@ class AsyncExporter:
     def __call__(self, state, step: int, time_value: float):
         if self._err is not None:
             raise self._err
-        # Materialize device arrays to host now: jax arrays are immutable so
-        # the snapshot is consistent no matter how far the loop advances;
-        # fetching here keeps the transfer off the worker (which may be busy
-        # formatting the previous frame).
-        jax_ready = state
-        for leaf in (state.u, state.v, state.p) + ((state.T,) if state.T is not None else ()):
-            leaf.block_until_ready()
-        self._q.put((jax_ready, step, time_value))
+        # Materialize device arrays to host now (np.asarray forces the
+        # device->host copy, not just completion): the snapshot is frozen
+        # regardless of how far the loop advances, and the transfer stays off
+        # the worker thread (which may be busy formatting the previous frame).
+        host = state._replace(
+            **{f: None if leaf is None else np.asarray(leaf)
+               for f, leaf in state._asdict().items()})
+        self._q.put((host, step, time_value))
 
     def write_collection(self):
         self.close()

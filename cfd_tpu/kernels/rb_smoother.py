@@ -57,7 +57,13 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     # sit beyond the ghost ring and are masked out of every update.
     H8 = _round_up(H, 8)
     W = _round_up(Wp, 128)
-    halo = _round_up(2 * n_pairs, 8)
+    # Each half-sweep consumes one slab row per side; the fused residual
+    # additionally reads the +-1 neighbors of a tile's own rows, so it needs
+    # one MORE valid row than the sweeps consumed (2*n_pairs < halo strictly;
+    # with n_pairs=4 the plain round_up gave halo == 2*n_pairs = 8 and the
+    # edge rows read stale neighbors).
+    halo = _round_up(2 * n_pairs + (1 if with_residual else 0), 8)
+    assert not with_residual or 2 * n_pairs < halo
     T = min(_round_up(tile_rows, 8), H8)
     if T + 2 * halo >= H8:
         T = H8  # small level: one whole-array tile

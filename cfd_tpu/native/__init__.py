@@ -48,11 +48,11 @@ def _load():
         lib.fmt_scalar_fixed6.restype = ctypes.c_long
         lib.fmt_scalar_fixed6.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_char_p]
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
         lib.fmt_vector_fixed6.restype = ctypes.c_long
         lib.fmt_vector_fixed6.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_char_p]
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
         _LIB = lib
         return _LIB
 
@@ -72,6 +72,11 @@ def _mask_ptr(mask):
     return m, m.ctypes.data_as(ctypes.c_void_p)
 
 
+# Worst-case bytes for one "%.6f\n" double: sign + 309 integral digits +
+# '.' + 6 decimals + '\n' (matches kScratch in vtk_text.cpp).
+_WORST_SCALAR = 336
+
+
 def fmt_scalar_fixed6(x: np.ndarray, literal_zero: np.ndarray | None = None) -> str | None:
     """'%.6f\\n' lines (optionally literal '0.0' rows); None if no native lib."""
     lib = _load()
@@ -79,12 +84,18 @@ def fmt_scalar_fixed6(x: np.ndarray, literal_zero: np.ndarray | None = None) -> 
         return None
     xf = _as_f64(x)
     n = xf.size
-    buf = ctypes.create_string_buffer(n * 40)
     keep = _mask_ptr(literal_zero)
-    written = lib.fmt_scalar_fixed6(
-        xf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
-        keep[1] if keep else None, buf)
-    return buf.raw[:written].decode("ascii")
+    # Common case: 40 bytes/value; diverged fields (|x| >= ~1e32) overflow
+    # that, the C side reports -1, and we retry with worst-case slots.
+    for slot in (40, _WORST_SCALAR):
+        cap = n * slot
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.fmt_scalar_fixed6(
+            xf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            keep[1] if keep else None, buf, cap)
+        if written >= 0:
+            return buf.raw[:written].decode("ascii")
+    raise RuntimeError("fmt_scalar_fixed6 overflow at worst-case sizing")
 
 
 def fmt_vector_fixed6(u: np.ndarray, v: np.ndarray,
@@ -94,10 +105,14 @@ def fmt_vector_fixed6(u: np.ndarray, v: np.ndarray,
         return None
     uf, vf = _as_f64(u), _as_f64(v)
     n = uf.size
-    buf = ctypes.create_string_buffer(n * 84)
     keep = _mask_ptr(literal_zero)
-    written = lib.fmt_vector_fixed6(
-        uf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        vf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
-        keep[1] if keep else None, buf)
-    return buf.raw[:written].decode("ascii")
+    for slot in (84, 2 * _WORST_SCALAR):
+        cap = n * slot
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.fmt_vector_fixed6(
+            uf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            vf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            keep[1] if keep else None, buf, cap)
+        if written >= 0:
+            return buf.raw[:written].decode("ascii")
+    raise RuntimeError("fmt_vector_fixed6 overflow at worst-case sizing")

@@ -84,3 +84,23 @@ def test_rb_pairs_with_fused_residual_matches_jnp():
     want_res = float(jnp.max(jnp.abs(M._residual(top, want_p, b))))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=5e-7)
     assert abs(float(got_res) - want_res) < 5e-4 * max(want_res, 1.0)
+
+
+def test_rb_pairs_with_fused_residual_n_pairs4():
+    """Regression for the round-1 advisor finding: n_pairs=4 previously gave
+    halo == 2*n_pairs == 8, so the residual's +-1 neighbor reads at a tile's
+    own-row edges hit rows outside the valid band (stale after 8
+    half-sweeps). The halo must strictly exceed 2*n_pairs."""
+    n = 48
+    top, p, b = _setup(M.cavity_problem, n)
+    H, W = top.shape
+    pk = make_rb_pairs((H, W),
+                       np.asarray(top.wE).reshape(W), np.asarray(top.wW).reshape(W),
+                       np.asarray(top.wN).reshape(H), np.asarray(top.wS).reshape(H),
+                       top.idx2, top.idy2, 1.0, n_pairs=4, tile_rows=16,
+                       interpret=True, with_residual=True)
+    got_p, got_res = pk(p, b)
+    want_p = _jnp_pairs(top, p, b, 4)
+    want_res = float(jnp.max(jnp.abs(M._residual(top, want_p, b))))
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=5e-7)
+    assert abs(float(got_res) - want_res) < 5e-4 * max(want_res, 1.0)

@@ -65,3 +65,21 @@ def test_native_is_faster_at_scale():
         return min(ts)  # min-of-N is robust to concurrent machine load
 
     assert best(native.fmt_scalar_fixed6) < best(_numpy_scalar)
+
+
+def test_huge_values_no_overflow():
+    """|x| >= ~1e32 overflows the 40-byte common-case slot; the wrapper must
+    retry at worst-case sizing, not corrupt the buffer (round-1 advisor
+    finding: the cursor advanced by snprintf's would-be length)."""
+    x = np.array([1e40, -1e40, 3.0, 1.7e308, -1.7e308, 0.5])
+    out = native.fmt_scalar_fixed6(x)
+    assert out == _numpy_scalar(x)
+    u = np.array([1e300, 2.0])
+    v = np.array([-1e300, 4.0])
+    assert native.fmt_vector_fixed6(u, v) == _numpy_vector(u, v)
+
+
+def test_huge_values_with_mask_mixed():
+    x = np.array([1e100, 1e100, -2.5])
+    m = np.array([False, True, False])
+    assert native.fmt_scalar_fixed6(x, m) == _numpy_scalar(x, m)
