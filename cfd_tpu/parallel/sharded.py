@@ -49,19 +49,33 @@ from cfd_tpu.ops.stencil import _sh
 
 
 class ShardedCavity:
-    """Explicit shard_map cavity solver over a ("dy", "dx") mesh."""
+    """Explicit shard_map cavity solver over a ("dy", "dx") mesh.
+
+    Two Poisson flavors share the projection machinery:
+
+    * ``poisson="sor"`` — cold-start red-black SOR with halo exchange per
+      half-sweep (the reference behavior, cavity-01.cpp:609-690).
+    * ``poisson="multigrid"`` — the explicit sharded V-cycle
+      (parallel.mg_sharded: per-level halo exchange, local transfers,
+      replicated coarse tail) with the extrapolated warm start used by the
+      flagship single-device benchmark config; state gains a ``p_prev``
+      block (step/initial_state take and return 4 field arrays).
+    """
 
     def __init__(self, case, mesh, tol_factor: float = 1e-9,
                  max_iters: int = 10000, check_every: int = 1,
-                 lid_velocity: float = 1.0):
+                 lid_velocity: float = 1.0, poisson: str = "sor"):
         grid: Grid = case.grid
         ny, nx = grid.ny, grid.nx
         mdy, mdx = mesh.shape["dy"], mesh.shape["dx"]
         if ny % mdy or nx % mdx:
             raise ValueError(f"grid {ny}x{nx} not divisible by mesh {mdy}x{mdx}")
+        if poisson not in ("sor", "multigrid"):
+            raise ValueError(f"unknown poisson flavor: {poisson}")
         self.case = case
         self.mesh = mesh
         self.grid = grid
+        self.poisson = poisson
         c: StencilCoeffs = case.coeffs
         sharding = grid_sharding(mesh)
         dtype = case.dtype
@@ -106,9 +120,9 @@ class ShardedCavity:
 
         ih2 = 1.0 / h2
 
-        def body(u, v, p, eps_e, eps_w, eps_n, eps_s, red, u_valid, v_valid):
-            jy = jax.lax.axis_index("dy")
-            jx = jax.lax.axis_index("dx")
+        def pre_poisson(u, v, u_valid, v_valid, jy, jx):
+            """BC + predictor + Poisson source on local padded blocks
+            (cavity step ordering, cavity-01.cpp:387-390)."""
             uP = fill(u)
             vP = fill(v)
             uP, vP = local_bc(uP, vP, jy, jx)
@@ -125,6 +139,24 @@ class ShardedCavity:
                 (us - _sh(us, 0, -1)) * c.idx + (vs - _sh(vs, -1, 0)) * c.idy)
             interior = pad_local(jnp.ones_like(u, dtype=bool))
             b = jnp.where(interior, bP, jnp.zeros_like(bP))
+            return uP, vP, us, vs, u_val, v_val, interior, b
+
+        def post_poisson(us, vs, pP, uP, vP, u_val, v_val, interior):
+            """Projection + pmax/psum statistics collectives."""
+            u2, v2 = pressure_correction(us, vs, pP, c, u_val, v_val,
+                                         u_else=uP, v_else=vP, cavity_form=True)
+            div = (u2 - _sh(u2, 0, -1)) * c.idx + (v2 - _sh(v2, -1, 0)) * c.idy
+            max_div = global_max(jnp.max(jnp.abs(jnp.where(interior, div, jnp.zeros_like(div)))))
+            uc = 0.5 * (_sh(u2, 0, -1) + u2)
+            vc = 0.5 * (_sh(v2, -1, 0) + v2)
+            ke = 0.5 * global_sum(jnp.sum(jnp.where(interior, uc * uc + vc * vc, 0.0)))
+            return u2, v2, max_div, ke
+
+        def body(u, v, p, eps_e, eps_w, eps_n, eps_s, red, u_valid, v_valid):
+            jy = jax.lax.axis_index("dy")
+            jx = jax.lax.axis_index("dx")
+            uP, vP, us, vs, u_val, v_val, interior, b = pre_poisson(
+                u, v, u_valid, v_valid, jy, jx)
 
             eE, eW = pad_local(eps_e), pad_local(eps_w)
             eN, eS = pad_local(eps_n), pad_local(eps_s)
@@ -167,36 +199,71 @@ class ShardedCavity:
             init = (p0, tol + jnp.asarray(1.0, b.dtype), jnp.asarray(0, jnp.int32))
             pP, res, iters = jax.lax.while_loop(cond, sweep_body, init)
 
-            u2, v2 = pressure_correction(us, vs, pP, c, u_val, v_val,
-                                         u_else=uP, v_else=vP, cavity_form=True)
-
-            # statistics (pmax/psum collectives)
-            div = (u2 - _sh(u2, 0, -1)) * c.idx + (v2 - _sh(v2, -1, 0)) * c.idy
-            max_div = global_max(jnp.max(jnp.abs(jnp.where(interior, div, jnp.zeros_like(div)))))
-            uc = 0.5 * (_sh(u2, 0, -1) + u2)
-            vc = 0.5 * (_sh(v2, -1, 0) + v2)
-            ke = 0.5 * global_sum(jnp.sum(jnp.where(interior, uc * uc + vc * vc, 0.0)))
-
+            u2, v2, max_div, ke = post_poisson(us, vs, pP, uP, vP,
+                                               u_val, v_val, interior)
             strip = lambda f: f[1:-1, 1:-1]
             return (strip(u2), strip(v2), strip(pP), iters, res, max_div,
                     ke / (nx * ny))
 
         spec = P("dy", "dx")
         scalar = P()
-        self._step = jax.jit(_shard_map(
-            body, mesh,
-            in_specs=(spec,) * 10,
-            out_specs=(spec, spec, spec, scalar, scalar, scalar, scalar),
-        ))
+        if poisson == "multigrid":
+            from cfd_tpu.parallel.mg_sharded import make_local_mg_solve
+            from cfd_tpu.poisson.multigrid import MGConfig, cavity_problem
+
+            mg_solve = make_local_mg_solve(
+                cavity_problem(nx, ny, grid.dx, grid.dy),
+                MGConfig(tol_factor=tol_factor, abs_tol=0.0),
+                (mdy, mdx), dtype)
+
+            def body_mg(u, v, p, p_prev, u_valid, v_valid):
+                jy = jax.lax.axis_index("dy")
+                jx = jax.lax.axis_index("dx")
+                uP, vP, us, vs, u_val, v_val, interior, b = pre_poisson(
+                    u, v, u_valid, v_valid, jy, jx)
+                # extrapolated warm start (the flagship single-device config)
+                guess = pad_local(2.0 * p - p_prev)
+                pP, iters, res = mg_solve(guess, b, jy, jx)
+                u2, v2, max_div, ke = post_poisson(us, vs, pP, uP, vP,
+                                                   u_val, v_val, interior)
+                strip = lambda f: f[1:-1, 1:-1]
+                return (strip(u2), strip(v2), strip(pP), p, iters, res,
+                        max_div, ke / (nx * ny))
+
+            self._step = jax.jit(_shard_map(
+                body_mg, mesh,
+                in_specs=(spec,) * 6,
+                out_specs=(spec, spec, spec, spec, scalar, scalar, scalar, scalar),
+            ))
+        else:
+            self._step = jax.jit(_shard_map(
+                body, mesh,
+                in_specs=(spec,) * 10,
+                out_specs=(spec, spec, spec, scalar, scalar, scalar, scalar),
+            ))
 
     def initial_state(self):
         z = jnp.zeros((self.grid.ny, self.grid.nx), dtype=self.case.dtype)
         put = partial(jax.device_put, device=self.sharding)
+        if self.poisson == "multigrid":
+            return put(z), put(z), put(z), put(z)
         return put(z), put(z), put(z)
 
-    def step(self, u, v, p):
-        """One projection step; returns (u, v, p, diagnostics dict)."""
+    def step(self, u, v, p, p_prev=None):
+        """One projection step; returns (u, v, p[, p_prev], diagnostics dict).
+
+        The multigrid flavor carries ``p_prev`` for the extrapolated warm
+        start; the SOR flavor keeps the reference's 3-field state."""
         c = self._consts
+        if self.poisson == "multigrid":
+            if p_prev is None:
+                raise ValueError("multigrid flavor needs p_prev (warm start)")
+            u2, v2, p2, pprev2, iters, res, max_div, avg_ke = self._step(
+                u, v, p, p_prev, c["u_valid"], c["v_valid"])
+            return u2, v2, p2, pprev2, {
+                "poisson_iters": iters, "poisson_residual": res,
+                "max_divergence": max_div, "avg_kinetic_energy": avg_ke,
+            }
         u2, v2, p2, iters, res, max_div, avg_ke = self._step(
             u, v, p, c["eps_e"], c["eps_w"], c["eps_n"], c["eps_s"],
             c["red"], c["u_valid"], c["v_valid"])
