@@ -88,17 +88,32 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     The diffusive stability bound from the case's construction-time dt rule
     is kept as a hard ceiling (explicit diffusion does not relax as the flow
     slows). Returns (state, history rows).
+
+    Checkpoint/resume: when ``sim.checkpointer`` is set, the controller's
+    full dynamical state (State, step, dt, t) is checkpointed — dt and t as
+    extras in the npz — and a latest checkpoint is resumed from exactly
+    (bitwise-identical continuation; the dt history is what the fixed-dt
+    path never needed, round-1 gap in PARITY.md).
     """
     case = sim.case
     log = log if log is not None else sim.log
     step = make_adaptive_step(case)
-    if state is None:
-        state = sim.initial_state()
     dt = float(dt0 if dt0 is not None else case.dt)
-    dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
-        / max(case.coeffs.viscosity, 1e-300)
     t = 0.0
     k = 0
+    if state is None:
+        resumed = None
+        if sim.checkpointer is not None:
+            resumed, k0, extras = sim.checkpointer.restore_latest(
+                case, with_extras=True)
+        if resumed is not None and "dt" in extras:
+            state, k = resumed, k0
+            dt, t = extras["dt"], extras["t"]
+            log(f"resumed adaptive run at step {k} (t={t:.6g}, dt={dt:.6e})")
+        else:
+            state = sim.initial_state()
+    dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
+        / max(case.coeffs.viscosity, 1e-300)
     rows = []
     while True:
         if n_steps is not None and k >= n_steps:
@@ -122,4 +137,8 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
         # diffusive ceiling; shrink immediately when over the target
         scale = min(growth, max_courant / max(co, 1e-12))
         dt = min(dt * scale, dt_ceiling_diffusive)
+        if sim.checkpointer is not None:
+            # saved AFTER the controller update: the resumed run's first
+            # step uses exactly the dt the uninterrupted run would
+            sim.checkpointer.maybe_save(state, k, extras={"dt": dt, "t": t})
     return state, rows

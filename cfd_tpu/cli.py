@@ -168,19 +168,19 @@ def main(argv=None) -> int:
 
         ckpt = CheckpointManager(args.checkpoint_dir,
                                  interval=args.checkpoint_interval)
-        state, start_step = ckpt.restore_latest(case)
-        if start_step:
-            print(f"resumed from checkpoint at step {start_step}")
         sim.checkpointer = ckpt
+        if args.adaptive_dt is None:
+            state, start_step = ckpt.restore_latest(case)
+            if start_step:
+                print(f"resumed from checkpoint at step {start_step}")
 
     if args.adaptive_dt is not None:
-        if args.checkpoint_dir:
-            raise SystemExit("--adaptive-dt does not support checkpointing yet")
+        # run_adaptive resumes (state, step, dt, t) from sim.checkpointer
+        # itself: dt/t live in the checkpoint extras
         from cfd_tpu.adaptive import run_adaptive
 
         run_adaptive(sim, max_courant=args.adaptive_dt, n_steps=args.steps,
-                     final_time=None if args.steps else case.final_time,
-                     state=state)
+                     final_time=None if args.steps else case.final_time)
     elif args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             sim.run(state=state, n_steps=args.steps, start_step=start_step,

@@ -36,7 +36,11 @@ class CheckpointManager:
     def _path(self, step: int) -> Path:
         return self.dir / f"ckpt_{step:08d}.npz"
 
-    def save(self, state: State, step: int) -> Path:
+    def save(self, state: State, step: int,
+             extras: dict[str, float] | None = None) -> Path:
+        """``extras``: additional host-side scalars that are part of the
+        dynamical state (the adaptive-dt controller's dt and t); stored with
+        an ``extra_`` prefix and returned by ``restore(..., with_extras)``."""
         path = self._path(step)
         tmp = path.with_suffix(".tmp.npz")
         arrays = {"u": np.asarray(state.u), "v": np.asarray(state.v),
@@ -45,14 +49,17 @@ class CheckpointManager:
             arrays["T"] = np.asarray(state.T)
         if state.p_prev is not None:
             arrays["p_prev"] = np.asarray(state.p_prev)
+        for k, v in (extras or {}).items():
+            arrays[f"extra_{k}"] = np.asarray(v, dtype=np.float64)
         np.savez(tmp, **arrays)
         os.replace(tmp, path)  # atomic on POSIX
         self._prune()
         return path
 
-    def maybe_save(self, state: State, step: int) -> Path | None:
+    def maybe_save(self, state: State, step: int,
+                   extras: dict[str, float] | None = None) -> Path | None:
         if self.interval > 0 and step % self.interval == 0:
-            return self.save(state, step)
+            return self.save(state, step, extras)
         return None
 
     def latest_step(self) -> int | None:
@@ -60,7 +67,7 @@ class CheckpointManager:
                  if (m := _CKPT_RE.search(f.name))]
         return max(steps) if steps else None
 
-    def restore(self, step: int, case=None) -> tuple[State, int]:
+    def restore(self, step: int, case=None, with_extras: bool = False):
         with np.load(self._path(step)) as z:
             dtype = None if case is None else case.dtype
             state = State(
@@ -70,14 +77,18 @@ class CheckpointManager:
                 T=jnp.asarray(z["T"], dtype=dtype) if "T" in z else None,
                 p_prev=jnp.asarray(z["p_prev"], dtype=dtype) if "p_prev" in z else None,
             )
+            if with_extras:
+                extras = {k[len("extra_"):]: float(z[k])
+                          for k in z.files if k.startswith("extra_")}
+                return state, int(z["step"]), extras
             return state, int(z["step"])
 
-    def restore_latest(self, case=None) -> tuple[State | None, int]:
-        """(state, step) of the newest checkpoint, or (None, 0)."""
+    def restore_latest(self, case=None, with_extras: bool = False):
+        """(state, step[, extras]) of the newest checkpoint, or (None, 0[, {}])."""
         step = self.latest_step()
         if step is None:
-            return None, 0
-        return self.restore(step, case)
+            return (None, 0, {}) if with_extras else (None, 0)
+        return self.restore(step, case, with_extras)
 
     def _prune(self) -> None:
         files = sorted(f for f in self.dir.iterdir() if _CKPT_RE.search(f.name))

@@ -42,3 +42,40 @@ def test_adaptive_matches_fixed_dt_when_dt_constant():
                             growth=1.0, log=quiet)
     np.testing.assert_array_equal(np.asarray(st_ad.u), np.asarray(st_fixed.u))
     np.testing.assert_array_equal(np.asarray(st_ad.p), np.asarray(st_fixed.p))
+
+
+def test_adaptive_checkpoint_resume_bitwise(tmp_path):
+    """Adaptive runs checkpoint (State, step, dt, t) and resume to a
+    bitwise-identical continuation (round-1 gap: dt history was not
+    persisted, so --adaptive-dt rejected checkpointing)."""
+    import numpy as np
+
+    from cfd_tpu.io.checkpoint import CheckpointManager
+
+    case = make_channel_case(nx=16, ny=8, final_time=5.0, print_interval=1000)
+
+    # uninterrupted 10-step run
+    sim_a = Simulation(case, log=quiet)
+    sa, _ = run_adaptive(sim_a, max_courant=0.5, n_steps=10)
+
+    # run to 10 with checkpoints every 5, then resume from the step-5
+    # checkpoint in a FRESH simulation and finish
+    sim_b = Simulation(case, log=quiet)
+    sim_b.checkpointer = CheckpointManager(tmp_path, interval=5, keep=10)
+    run_adaptive(sim_b, max_courant=0.5, n_steps=10)
+    st5, k5, extras = sim_b.checkpointer.restore(5, case, with_extras=True)
+    assert k5 == 5 and "dt" in extras and "t" in extras
+
+    sim_c = Simulation(case, log=quiet)
+    sc, _ = run_adaptive(sim_c, max_courant=0.5, n_steps=5,
+                         state=st5, dt0=extras["dt"])
+    np.testing.assert_array_equal(np.asarray(sa.u), np.asarray(sc.u))
+    np.testing.assert_array_equal(np.asarray(sa.v), np.asarray(sc.v))
+    np.testing.assert_array_equal(np.asarray(sa.p), np.asarray(sc.p))
+
+    # the automatic resume path (state=None picks up the latest checkpoint)
+    sim_d = Simulation(case, log=quiet)
+    sim_d.checkpointer = CheckpointManager(tmp_path, interval=5, keep=10)
+    sd, _ = run_adaptive(sim_d, max_courant=0.5, n_steps=10)  # resumes at 10
+    np.testing.assert_array_equal(np.asarray(sim_b.checkpointer.restore(10, case)[0].u),
+                                  np.asarray(sd.u))
