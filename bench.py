@@ -16,7 +16,9 @@ from the solver's diagnostics. Wall time is measured over timed steps after
 a compile+warmup phase, with block_until_ready fencing.
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 20),
-BENCH_DTYPE (f32|bf16, default f32), BENCH_TOL (default 1e-6 relative),
+BENCH_DTYPE (f32|bf16, default f32; bf16 is a validated ~5%-KE-band
+throughput mode, tests/test_bf16.py — not a validation mode),
+BENCH_TOL (default 1e-6 relative),
 BENCH_CHUNK (steps per dispatch via lax.scan, default 5 — amortizes the
 host->device dispatch latency the way a production driver would).
 """
