@@ -19,9 +19,28 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from cfd_tpu.grid import Grid
+
+
+def iota_masks(grid: Grid) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(cell, u_valid, v_valid) masks as broadcasted-iota expressions for
+    RECTANGLE (mask-free) grids.
+
+    Called INSIDE a jitted step these fuse to in-register compares — unlike
+    the precomputed numpy mask arrays, which are program constants streamed
+    from HBM on every use (~4 MB each at 2048^2, several reads per step).
+    Masked-geometry grids must keep the array masks (grid.u_valid_mask).
+    """
+    ny, nx = grid.ny, grid.nx
+    jj = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, grid.shape, 1)
+    cell = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    u_valid = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)
+    v_valid = (jj >= 1) & (jj <= ny - 1) & (ii >= 1) & (ii <= nx)
+    return cell, u_valid, v_valid
 
 
 def _sh(a: jnp.ndarray, dj: int, di: int) -> jnp.ndarray:

@@ -94,11 +94,22 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
         return case.custom_step(case)
     grid, c = case.grid, case.coeffs
     bc = case.velocity_bc
-    u_valid = jnp.asarray(grid.u_valid_mask)
-    v_valid = jnp.asarray(grid.v_valid_mask)
-    u_range = jnp.asarray(grid.u_range_mask)
-    v_range = jnp.asarray(grid.v_range_mask)
-    cell = jnp.asarray(grid.cell_mask)
+    if grid.has_solids:
+        _consts = (jnp.asarray(grid.cell_mask), jnp.asarray(grid.u_valid_mask),
+                   jnp.asarray(grid.v_valid_mask), jnp.asarray(grid.u_range_mask),
+                   jnp.asarray(grid.v_range_mask))
+
+        def masks():
+            return _consts
+    else:
+        # rectangle grids: iota-derived masks, built INSIDE the traced step
+        # so they fuse to in-register compares instead of streaming constant
+        # arrays from HBM (ops.stencil.iota_masks)
+        from cfd_tpu.ops.stencil import iota_masks
+
+        def masks():
+            cell, u_valid, v_valid = iota_masks(grid)
+            return cell, u_valid, v_valid, u_valid, v_valid
     n_fluid = grid.n_fluid
 
     extrap = case.extrapolate_warm_start
@@ -106,6 +117,7 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
     if case.ordering == "cavity":
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
+            cell, u_valid, v_valid, u_range, v_range = masks()
             u, v = bc(state.u, state.v)
             us, vs = predictor(u, v, c, u_valid, v_valid)
             b = poisson_source(us, vs, c, cell, remove_mean=False, n_cells=n_fluid)
@@ -121,6 +133,7 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
         zero_else = True  # invalid in-range faces are zeroed (backwards_step-01.cpp:956,972)
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
+            cell, u_valid, v_valid, u_range, v_range = masks()
             us, vs = predictor(state.u, state.v, c, u_valid, v_valid)
             us, vs = bc(us, vs)
             b = poisson_source(

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from cfd_tpu.cases import make_cavity_case
 from cfd_tpu.parallel.ensemble import ensemble_cavity_sweep
@@ -44,3 +45,31 @@ def test_ensemble_sharded_over_mesh_batch_axis():
     u = np.asarray(states2.u)
     assert np.isfinite(u).all()
     assert not np.allclose(u[0], u[-1])
+
+
+@pytest.mark.slow
+def test_nu_vs_ra_scaling_band():
+    """The reference README's own RB TODO (README.md:91): Nu(Ra) from the
+    vmapped Rayleigh-number ensemble must land in the classical 2D band —
+    Nu ~ C*Ra^beta with beta ~ 0.25-0.3 — and the wall/volume Nusselt
+    numbers must agree (global heat-flux balance).
+
+    Measured steady values at 96x32 (aspect 3): Nu = 2.505 / 4.68 / ~8.0 at
+    Ra = 1e4 / 1e5 / 1e6."""
+    from cfd_tpu.parallel.ensemble import make_rb_ensemble
+
+    ras = [1e4, 1e5, 1e6]
+    step, states, ras_j, dt, nusselt = make_rb_ensemble(ras)
+    for _ in range(12000):
+        states, iters, res = step(states, ras_j)
+    nu = {k: np.asarray(v) for k, v in nusselt(states, ras_j).items()}
+    vol = nu["nusselt_volume"]
+    assert 2.2 < vol[0] < 2.9, vol
+    assert 4.2 < vol[1] < 5.2, vol
+    assert 6.3 < vol[2] < 9.5, vol
+    assert vol[0] < vol[1] < vol[2], "Nu must increase with Ra"
+    slope = np.polyfit(np.log10(ras), np.log10(vol), 1)[0]
+    assert 0.20 < slope < 0.33, slope
+    # wall flux consistency (steady members; Ra=1e6 fluctuates more)
+    assert abs(nu["nusselt_bottom"][0] / vol[0] - 1) < 0.05
+    assert abs(nu["nusselt_bottom"][1] / vol[1] - 1) < 0.10

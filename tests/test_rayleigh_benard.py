@@ -127,3 +127,6 @@ def test_rb_vtk_export_includes_temperature_and_streamfunction(tmp_path):
     text = p.read_text()
     assert "SCALARS temperature double 1" in text
     assert "SCALARS streamfunction double 1" in text
+    # vorticity rides the standard writer path (computed from center
+    # velocities exactly as the reference writers do, cavity-01.cpp:184-224)
+    assert "SCALARS vorticity double 1" in text
