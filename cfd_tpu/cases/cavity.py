@@ -71,8 +71,26 @@ def make_cavity_case(
         poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
+
+    # Fused Pallas stage kernels (BC+predictor+source, BC+projection) for
+    # f32 rectangle runs on TPU — same auto rule as the multigrid smoother;
+    # bitwise-matched to the XLA path in tests/test_kernels.py.
+    step_kernels = None
+    import numpy as _np
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device
+    platform = dev.platform if dev is not None else _jax.default_backend()
+    if _np.dtype(dtype) == _np.float32 and platform == "tpu":
+        from cfd_tpu.kernels.projection import make_corrector, make_predictor_source
+
+        step_kernels = (
+            make_predictor_source(grid.shape, coeffs, lid_velocity),
+            make_corrector(grid.shape, coeffs, lid_velocity),
+        )
     return Case(
         poisson_max_iters=poisson_cap,
+        step_kernels=step_kernels,
         name="cavity",
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,

@@ -1,0 +1,236 @@
+"""Pallas TPU kernels: fused projection-step stages for rectangle grids.
+
+SURVEY.md section 2.2 native-kernel families 1, 2, 4, 5 in two kernels:
+
+* ``make_predictor_source`` — cavity ghost BCs + MAC predictor (advection +
+  diffusion + Forward Euler, cavity-01.cpp:548-603) + Poisson source
+  b = (rho/dt) div(u*) (cavity-01.cpp:622-630) in ONE VMEM pass: u and v
+  stream from HBM once and us, vs, b stream out once, where the XLA path
+  reads u,v for the predictor and re-reads us,vs for the source.
+* ``make_corrector`` — cavity ghost BCs (for the reference's untouched
+  invalid faces) + pressure-gradient projection (cavity-01.cpp:695-711):
+  reads us, vs, p, u, v once, writes u2, v2.
+
+Same tiling/DMA structure as kernels.rb_smoother: 1D row tiles, overlapping
+slabs DMA'd from HBM refs with clamped offsets (multiples of 8), double-
+buffered input copies overlapping compute, iota-derived masks (no mask
+arrays). Cavity BC rows/columns are applied in-kernel from global-row
+iotas, so the BC'd fields are never materialized in HBM.
+
+Bitwise semantics match ops.stencil.predictor / poisson_source /
+pressure_correction with bc.lid_cavity_bc (asserted in tests/test_kernels.py
+in interpret mode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _roll(a, dj, di):
+    """shifted[j, i] = a[j+dj, i+di] on the slab (wraparound rows/cols are
+    masked out by the iota conditions of every consumer). Zero shifts are
+    skipped: Mosaic rejects the zero-size slice jnp.roll emits for them."""
+    if dj:
+        a = jnp.roll(a, -dj, axis=0)
+    if di:
+        a = jnp.roll(a, -di, axis=1)
+    return a
+
+
+def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
+                      interpret: bool, halo: int = 8):
+    """Shared skeleton: stream ``n_in`` HBM arrays through overlapping row
+    slabs, run ``compute(i_tile, slab_start, inputs) -> outputs`` (lists of
+    (slab, W) arrays), write back each tile's own rows of ``n_out`` outputs.
+    """
+    H, Wp = shape
+    H8 = _round_up(H, 8)
+    W = _round_up(Wp, 128)
+    T = min(_round_up(tile_rows, 8), H8)
+    if T + 2 * halo >= H8:
+        T = H8
+    slab = min(T + 2 * halo, H8)
+    n_tiles = -(-H8 // T)
+
+    def kernel(*refs):
+        in_hbm = refs[:n_in]
+        out_hbm = refs[n_in : n_in + n_out]
+        in_s = refs[n_in + n_out : n_in + n_out + n_in]
+        out_s = refs[n_in + n_out + n_in : n_in + n_out + n_in + n_out]
+        sems = refs[-1]
+        i = pl.program_id(0)
+
+        def coords(t):
+            r0 = pl.multiple_of(jnp.minimum(t * T, H8 - T).astype(jnp.int32), 8)
+            s = pl.multiple_of(jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32), 8)
+            return r0, s
+
+        r0, s = coords(i)
+        slot = jax.lax.rem(i.astype(jnp.int32), jnp.int32(2))
+        nxt = jax.lax.rem((i + 1).astype(jnp.int32), jnp.int32(2))
+
+        def start_in(t, sl):
+            _, st = coords(t)
+            for k in range(n_in):
+                pltpu.make_async_copy(in_hbm[k].at[pl.ds(st, slab), :],
+                                      in_s[k].at[sl], sems.at[sl, k]).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_in(0, slot)
+
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            start_in(i + 1, nxt)
+
+        for k in range(n_in):
+            pltpu.make_async_copy(in_hbm[k].at[pl.ds(s, slab), :],
+                                  in_s[k].at[slot], sems.at[slot, k]).wait()
+
+        outs = compute(s, [in_s[k][slot] for k in range(n_in)])
+        off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
+        copies = []
+        for k in range(n_out):
+            out_s[k][slot] = outs[k]
+            cp = pltpu.make_async_copy(out_s[k].at[slot, pl.ds(off, T), :],
+                                       out_hbm[k].at[pl.ds(r0, T), :],
+                                       sems.at[slot, n_in + k])
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * n_out),
+        out_shape=tuple([jax.ShapeDtypeStruct((H8, W), jnp.float32)] * n_out),
+        scratch_shapes=(
+            [pltpu.VMEM((2, slab, W), jnp.float32) for _ in range(n_in)]
+            + [pltpu.VMEM((2, slab, W), jnp.float32) for _ in range(n_out)]
+            + [pltpu.SemaphoreType.DMA((2, n_in + n_out))]
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=False),
+    )
+
+    def call(*arrays):
+        padded = [jnp.pad(a.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
+                  for a in arrays]
+        outs = fn(*padded)
+        return tuple(o[:H, :Wp] for o in outs)
+
+    return call, (H8, W, slab)
+
+
+def _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W):
+    """Cavity ghost BCs (cavity-01.cpp:523-543) on a slab whose first row is
+    global row ``s``: lid u-ghost at j=ny+1, antisymmetric south u-ghost at
+    j=0, antisymmetric v side ghosts at i=0 / i=nx+1."""
+    grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
+    # exact index ranges of bc.lid_cavity_bc: u-ghost rows over columns
+    # 0..nx, v-ghost columns over rows 0..ny (the corner cells the reference
+    # never writes stay untouched)
+    u = jnp.where((grow == ny + 1) & (gcol <= nx),
+                  2.0 * lid - _roll(u, -1, 0), u)
+    u = jnp.where((grow == 0) & (gcol <= nx), -_roll(u, 1, 0), u)
+    v = jnp.where((gcol == 0) & (grow <= ny), -_roll(v, 0, 1), v)
+    v = jnp.where((gcol == nx + 1) & (grow <= ny), -_roll(v, 0, -1), v)
+    return u, v, grow, gcol
+
+
+def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
+                          tile_rows: int = 64, interpret: bool = False):
+    """pairs (u, v) -> (us, vs, b) for the cavity rectangle case.
+
+    ``shape`` = padded (ny+2, nx+2); coeffs supplies dx/dy/dt/viscosity/
+    density (host scalars, baked into the kernel).
+    """
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    nu, dt = coeffs.viscosity, coeffs.dt
+    idx, idy = coeffs.idx, coeffs.idy
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+    rho_dt = coeffs.density / dt
+    lid = lid_velocity
+
+    def compute(s, ins):
+        u, v = ins
+        slab, W = u.shape
+        u, v, grow, gcol = _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W)
+
+        uE, uW, uN, uS = _roll(u, 0, 1), _roll(u, 0, -1), _roll(u, 1, 0), _roll(u, -1, 0)
+        vE, vW, vN, vS = _roll(v, 0, 1), _roll(v, 0, -1), _roll(v, 1, 0), _roll(v, -1, 0)
+
+        lap_u = (uE - 2.0 * u + uW) * idx2 + (uN - 2.0 * u + uS) * idy2
+        u_e = 0.5 * (u + uE)
+        u_w = 0.5 * (uW + u)
+        conv_ux = (u_e * u_e - u_w * u_w) * idx
+        v_n = 0.5 * (v + vE)
+        v_s = 0.5 * (vS + _roll(v, -1, 1))
+        u_n = 0.5 * (uN + u)
+        u_s = 0.5 * (uS + u)
+        conv_uy = (v_n * u_n - v_s * u_s) * idy
+        u_star = u + dt * (nu * lap_u - conv_ux - conv_uy)
+
+        lap_v = (vE - 2.0 * v + vW) * idx2 + (vN - 2.0 * v + vS) * idy2
+        v_nn = 0.5 * (v + vN)
+        v_ss = 0.5 * (vS + v)
+        conv_vy = (v_nn * v_nn - v_ss * v_ss) * idy
+        u_e2 = 0.5 * (u + uN)
+        u_w2 = 0.5 * (uW + _roll(u, 1, -1))
+        v_e2 = 0.5 * (v + vE)
+        v_w2 = 0.5 * (vW + v)
+        conv_vx = (u_e2 * v_e2 - u_w2 * v_w2) * idx
+        v_star = v + dt * (nu * lap_v - conv_vy - conv_vx)
+
+        u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
+        v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
+        zero = jnp.zeros_like(u)
+        us = jnp.where(u_valid, u_star, zero)
+        vs = jnp.where(v_valid, v_star, zero)
+
+        cell = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx)
+        div = (us - _roll(us, 0, -1)) * idx + (vs - _roll(vs, -1, 0)) * idy
+        b = jnp.where(cell, rho_dt * div, zero)
+        return [us, vs, b]
+
+    call, _ = _make_slab_kernel(shape, n_in=2, n_out=3, compute=compute,
+                                tile_rows=tile_rows, interpret=interpret)
+    return call
+
+
+def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
+                   tile_rows: int = 64, interpret: bool = False):
+    """(us, vs, p, u, v) -> (u2, v2), the rho-multiplied cavity projection
+    (cavity-01.cpp:695-711) with the BC'd previous fields on invalid faces
+    (the reference leaves those entries untouched)."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    cu = coeffs.dt / coeffs.dx * coeffs.density
+    cv = coeffs.dt / coeffs.dy * coeffs.density
+    lid = lid_velocity
+
+    def compute(s, ins):
+        us, vs, p, u, v = ins
+        slab, W = u.shape
+        uP, vP, grow, gcol = _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W)
+        u_new = us - cu * (_roll(p, 0, 1) - p)
+        v_new = vs - cv * (_roll(p, 1, 0) - p)
+        u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
+        v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
+        return [jnp.where(u_valid, u_new, uP), jnp.where(v_valid, v_new, vP)]
+
+    call, _ = _make_slab_kernel(shape, n_in=5, n_out=2, compute=compute,
+                                tile_rows=tile_rows, interpret=interpret)
+    return call

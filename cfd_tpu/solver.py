@@ -78,6 +78,10 @@ class Case:
     # (cavity-01.cpp:681-684, channel-01.cpp:683-685,
     # backwards_step-01.cpp:933-935).
     poisson_max_iters: Optional[int] = None
+    # Optional fused Pallas stage kernels (predictor_source, corrector) for
+    # the cavity ordering on rectangle f32 TPU runs (kernels.projection);
+    # built by the case factory, which knows the BC parameters they bake in.
+    step_kernels: Optional[tuple] = None
     custom_step: Optional[Callable] = None
     extra_stats: Optional[Callable] = None  # (State) -> dict[str, scalar]
     initial_state_fn: Optional[Callable] = None  # () -> State
@@ -114,7 +118,18 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
 
     extrap = case.extrapolate_warm_start
 
-    if case.ordering == "cavity":
+    if case.ordering == "cavity" and case.step_kernels is not None:
+        pred_src, corr = case.step_kernels
+
+        def step(state: State) -> tuple[State, StepDiagnostics]:
+            us, vs, b = pred_src(state.u, state.v)  # fused BC+predictor+source
+            guess = 2.0 * state.p - state.p_prev if extrap else state.p
+            p, iters, res = case.poisson_solve(guess, b)
+            u2, v2 = corr(us, vs, p, state.u, state.v)  # fused BC+projection
+            return State(u2, v2, p, state.T, state.p if extrap else None), \
+                StepDiagnostics(iters, res)
+
+    elif case.ordering == "cavity":
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
             cell, u_valid, v_valid, u_range, v_range = masks()

@@ -104,3 +104,60 @@ def test_rb_pairs_with_fused_residual_n_pairs4():
     want_res = float(jnp.max(jnp.abs(M._residual(top, want_p, b))))
     np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p), atol=5e-7)
     assert abs(float(got_res) - want_res) < 5e-4 * max(want_res, 1.0)
+
+
+def _cavity_setup(n=48, seed=5):
+    from cfd_tpu.cases.cavity import make_cavity_case
+    case = make_cavity_case(n_interior=n, dtype=jnp.float32)
+    g = case.grid
+    rng = np.random.default_rng(seed)
+    u = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    p = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    return case, g, u, v, p
+
+
+@pytest.mark.parametrize("tile_rows", [16, 512])
+def test_fused_predictor_source_matches_xla(tile_rows):
+    """Fused BC+predictor+source kernel == the XLA path (bc.lid_cavity_bc ->
+    ops.stencil.predictor -> poisson_source) to f32 roundoff, tiled and
+    whole-array."""
+    from cfd_tpu.bc import lid_cavity_bc
+    from cfd_tpu.kernels.projection import make_predictor_source
+    from cfd_tpu.ops.stencil import iota_masks, poisson_source, predictor
+
+    case, g, u, v, _ = _cavity_setup()
+    bc = lid_cavity_bc(g, 1.0)
+    cell, u_valid, v_valid = iota_masks(g)
+    uP, vP = bc(u, v)
+    us_ref, vs_ref = predictor(uP, vP, case.coeffs, u_valid, v_valid)
+    b_ref = poisson_source(us_ref, vs_ref, case.coeffs, cell,
+                           remove_mean=False, n_cells=g.n_fluid)
+
+    k = make_predictor_source(g.shape, case.coeffs, 1.0,
+                              tile_rows=tile_rows, interpret=True)
+    us, vs, b = k(u, v)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(us_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(vs_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=2e-3)
+
+
+@pytest.mark.parametrize("tile_rows", [16, 512])
+def test_fused_corrector_matches_xla(tile_rows):
+    from cfd_tpu.bc import lid_cavity_bc
+    from cfd_tpu.kernels.projection import make_corrector
+    from cfd_tpu.ops.stencil import iota_masks, predictor, pressure_correction
+
+    case, g, u, v, p = _cavity_setup(seed=6)
+    bc = lid_cavity_bc(g, 1.0)
+    cell, u_valid, v_valid = iota_masks(g)
+    uP, vP = bc(u, v)
+    us, vs = predictor(uP, vP, case.coeffs, u_valid, v_valid)
+    u2_ref, v2_ref = pressure_correction(us, vs, p, case.coeffs, u_valid,
+                                         v_valid, u_else=uP, v_else=vP,
+                                         cavity_form=True)
+    k = make_corrector(g.shape, case.coeffs, 1.0, tile_rows=tile_rows,
+                       interpret=True)
+    u2, v2 = k(us, vs, p, u, v)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u2_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref), atol=2e-6)

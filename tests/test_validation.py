@@ -1,6 +1,8 @@
 """Physics validation: Ghia centerlines, Poiseuille + friction factor,
 step reattachment length (the reference's claimed checks, README.md:27-75)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,23 @@ def test_cavity_re1000_matches_ghia():
     assert errs["u_rms"] < 0.03, errs
     assert errs["v_rms"] < 0.03, errs
     assert errs["u_max"] < 0.05, errs
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("CFD_TPU_FULL_TRACE") != "1",
+                    reason="set CFD_TPU_FULL_TRACE=1 (thorough tier, ~10 min)")
+def test_cavity_re100_matches_ghia_128():
+    """Thorough-tier Ghia check at 128^2 (>= Ghia's own 129^2 spacing):
+    pins the headline validation claim at full fidelity. Measured RMS at
+    this resolution: u 0.007, v 0.009 (vs 0.03 band at 64^2)."""
+    case = make_cavity_case(n_interior=128, reynolds_number=100.0,
+                            final_time=15.0, poisson="multigrid",
+                            tolerance_factor=1e-8)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    for _ in range(case.total_steps):
+        state, _ = sim._step(state)
+    errs = ghia_errors(state.u, state.v, case.grid, 100)
+    assert errs["u_rms"] < 0.012, errs
+    assert errs["v_rms"] < 0.012, errs
+    assert errs["u_max"] < 0.025, errs
