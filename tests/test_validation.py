@@ -126,8 +126,9 @@ def test_cavity_re1000_matches_ghia():
                     reason="set CFD_TPU_FULL_TRACE=1 (thorough tier, ~10 min)")
 def test_cavity_re100_matches_ghia_128():
     """Thorough-tier Ghia check at 128^2 (>= Ghia's own 129^2 spacing):
-    pins the headline validation claim at full fidelity. Measured RMS at
-    this resolution: u 0.007, v 0.009 (vs 0.03 band at 64^2)."""
+    pins the headline validation claim at full fidelity. Measured at this
+    resolution (f64, multigrid, t=15): u_rms 0.0022, v_rms 0.0047,
+    u_max 0.0049 — an order tighter than the 0.03 band at 64^2."""
     case = make_cavity_case(n_interior=128, reynolds_number=100.0,
                             final_time=15.0, poisson="multigrid",
                             tolerance_factor=1e-8)
@@ -136,6 +137,6 @@ def test_cavity_re100_matches_ghia_128():
     for _ in range(case.total_steps):
         state, _ = sim._step(state)
     errs = ghia_errors(state.u, state.v, case.grid, 100)
-    assert errs["u_rms"] < 0.012, errs
-    assert errs["v_rms"] < 0.012, errs
-    assert errs["u_max"] < 0.025, errs
+    assert errs["u_rms"] < 0.005, errs
+    assert errs["v_rms"] < 0.008, errs
+    assert errs["u_max"] < 0.012, errs
