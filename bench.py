@@ -15,11 +15,11 @@ so updates/step/cell = 5 + (16/3) * cycles, with the cycle count read back
 from the solver's diagnostics. Wall time is measured over timed steps after
 a compile+warmup phase, with block_until_ready fencing.
 
-Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 20),
+Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 300),
 BENCH_DTYPE (f32|bf16, default f32; bf16 is a validated ~5%-KE-band
 throughput mode, tests/test_bf16.py — not a validation mode),
 BENCH_TOL (default 1e-6 relative),
-BENCH_CHUNK (steps per dispatch via lax.scan, default 5 — amortizes the
+BENCH_CHUNK (steps per dispatch via lax.scan, default 100 = the reference print cadence — amortizes the
 host->device dispatch latency the way a production driver would).
 """
 
@@ -38,12 +38,12 @@ def main() -> None:
     from cfd_tpu.solver import Simulation, make_step
 
     n = int(os.environ.get("BENCH_N", 2048))
-    steps = int(os.environ.get("BENCH_STEPS", 40))
+    steps = int(os.environ.get("BENCH_STEPS", 300))
     tol = float(os.environ.get("BENCH_TOL", 1e-6))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "f32")]
 
-    chunk = int(os.environ.get("BENCH_CHUNK", 10))
+    chunk = int(os.environ.get("BENCH_CHUNK", 100))
     case = make_cavity_case(n_interior=n, poisson="multigrid", dtype=dtype,
                             tolerance_factor=tol)
     step_fn = make_step(case)
