@@ -112,6 +112,9 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
             log(f"resumed adaptive run at step {k} (t={t:.6g}, dt={dt:.6e})")
         else:
             state = sim.initial_state()
+    # the adaptive step is the plain XLA path: work in the logical layout
+    if case.unalign_state is not None and state.u.shape != case.grid.shape:
+        state = case.unalign_state(state)
     dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
         / max(case.coeffs.viscosity, 1e-300)
     rows = []

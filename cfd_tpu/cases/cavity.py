@@ -36,6 +36,7 @@ def make_cavity_case(
     poisson_check_every: int = 1,
     poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
+    step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
 ) -> Case:
     ensure_dtype_enabled(dtype)
     grid = Grid.regular(n_interior, n_interior, cavity_length, cavity_height)
@@ -73,24 +74,51 @@ def make_cavity_case(
         raise ValueError(f"unknown poisson solver: {poisson}")
 
     # Fused Pallas stage kernels (BC+predictor+source, BC+projection) for
-    # f32 rectangle runs on TPU — same auto rule as the multigrid smoother;
-    # bitwise-matched to the XLA path in tests/test_kernels.py.
+    # f32 rectangle multigrid runs on TPU — same auto rule as the multigrid
+    # smoother; matched to the XLA path in tests/test_kernels.py. The whole
+    # state is carried in the Mosaic-aligned layout between kernels (no
+    # per-step pad/slice copies); the MG solve consumes it aligned too.
     step_kernels = None
+    align_state = unalign_state = None
     import numpy as _np
     import jax as _jax
 
     dev = _jax.config.jax_default_device
     platform = dev.platform if dev is not None else _jax.default_backend()
-    if _np.dtype(dtype) == _np.float32 and platform == "tpu":
+    interp = step_kernel_mode == "interpret"
+    if (_np.dtype(dtype) == _np.float32 and poisson == "multigrid"
+            and (interp or (step_kernel_mode == "auto" and platform == "tpu"))):
         from cfd_tpu.kernels.projection import make_corrector, make_predictor_source
+        from cfd_tpu.poisson.multigrid import _round_up8_128
 
         step_kernels = (
-            make_predictor_source(grid.shape, coeffs, lid_velocity),
-            make_corrector(grid.shape, coeffs, lid_velocity),
+            make_predictor_source(grid.shape, coeffs, lid_velocity,
+                                  aligned_io=True, interpret=interp),
+            make_corrector(grid.shape, coeffs, lid_velocity, aligned_io=True,
+                           interpret=interp),
         )
+        solve = make_multigrid_poisson(
+            cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
+            mg, dtype=dtype, aligned_io=True, use_pallas=True,
+            pallas_interpret=interp,
+        )
+        H, Wp = grid.shape
+        H8, W = _round_up8_128(grid.shape)
+
+        def _map(state, f):
+            from cfd_tpu.state import State
+            return State(*(None if a is None else f(a) for a in state))
+
+        def align_state(state):
+            return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+
+        def unalign_state(state):
+            return _map(state, lambda a: a[:H, :Wp])
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        align_state=align_state,
+        unalign_state=unalign_state,
         name="cavity",
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,

@@ -46,7 +46,8 @@ def _roll(a, dj, di):
 
 
 def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
-                      interpret: bool, halo: int = 8):
+                      interpret: bool, halo: int = 8,
+                      aligned_io: bool = False):
     """Shared skeleton: stream ``n_in`` HBM arrays through overlapping row
     slabs, run ``compute(i_tile, slab_start, inputs) -> outputs`` (lists of
     (slab, W) arrays), write back each tile's own rows of ``n_out`` outputs.
@@ -124,6 +125,10 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
     )
 
     def call(*arrays):
+        if aligned_io:
+            # caller keeps the state in the (H8, W) aligned layout with
+            # zeros beyond the logical grid: no pad/slice layout copies
+            return fn(*arrays)
         padded = [jnp.pad(a.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
                   for a in arrays]
         outs = fn(*padded)
@@ -150,7 +155,8 @@ def _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W):
 
 
 def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
-                          tile_rows: int = 64, interpret: bool = False):
+                          tile_rows: int = 64, interpret: bool = False,
+                          aligned_io: bool = False):
     """pairs (u, v) -> (us, vs, b) for the cavity rectangle case.
 
     ``shape`` = padded (ny+2, nx+2); coeffs supplies dx/dy/dt/viscosity/
@@ -206,12 +212,14 @@ def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
         return [us, vs, b]
 
     call, _ = _make_slab_kernel(shape, n_in=2, n_out=3, compute=compute,
-                                tile_rows=tile_rows, interpret=interpret)
+                                tile_rows=tile_rows, interpret=interpret,
+                                aligned_io=aligned_io)
     return call
 
 
 def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
-                   tile_rows: int = 64, interpret: bool = False):
+                   tile_rows: int = 64, interpret: bool = False,
+                   aligned_io: bool = False):
     """(us, vs, p, u, v) -> (u2, v2), the rho-multiplied cavity projection
     (cavity-01.cpp:695-711) with the BC'd previous fields on invalid faces
     (the reference leaves those entries untouched)."""
@@ -232,5 +240,6 @@ def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
         return [jnp.where(u_valid, u_new, uP), jnp.where(v_valid, v_new, vP)]
 
     call, _ = _make_slab_kernel(shape, n_in=5, n_out=2, compute=compute,
-                                tile_rows=tile_rows, interpret=interpret)
+                                tile_rows=tile_rows, interpret=interpret,
+                                aligned_io=aligned_io)
     return call

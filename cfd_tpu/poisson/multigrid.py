@@ -127,6 +127,17 @@ class _Level:
     idy2: float
     shape: tuple[int, int]
     separable: bool
+    # interior dims — equal to shape-2 for regular levels; smaller for a
+    # Mosaic-ALIGNED level whose arrays carry dead zero rows/columns beyond
+    # the logical padded grid (see make_multigrid_poisson aligned_io)
+    ny: int = -1
+    nx: int = -1
+
+
+def _round_up8_128(shape: tuple[int, int]) -> tuple[int, int]:
+    """Mosaic-aligned dims: sublane multiple 8, lane multiple 128 (f32)."""
+    H, W = shape
+    return (-(-H // 8) * 8, -(-W // 128) * 128)
 
 
 def _is_separable(p: PoissonProblem) -> bool:
@@ -144,17 +155,25 @@ def _is_separable(p: PoissonProblem) -> bool:
             and cols_equal(p.wN) and cols_equal(p.wS))
 
 
-def _build_level(p: PoissonProblem, dtype) -> _Level:
+def _build_level(p: PoissonProblem, dtype, aligned: bool = False) -> _Level:
+    """``aligned``: carry the level's arrays in the Mosaic-aligned layout
+    (shape rounded up to 8x128 with zero weights beyond the logical grid) —
+    usable only for separable problems."""
     idx2 = 1.0 / (p.dx * p.dx)
     idy2 = 1.0 / (p.dy * p.dy)
+    H, W = (p.ny + 2, p.nx + 2)
+    if aligned:
+        if not _is_separable(p):
+            raise ValueError("aligned levels require separable weights")
+        H, W = _round_up8_128((H, W))
     if _is_separable(p):
-        wE = np.zeros((1, p.nx + 2))
+        wE = np.zeros((1, W))
         wE[0, 1 : p.nx + 1] = p.wE[1, 1 : p.nx + 1]
-        wW = np.zeros((1, p.nx + 2))
+        wW = np.zeros((1, W))
         wW[0, 1 : p.nx + 1] = p.wW[1, 1 : p.nx + 1]
-        wN = np.zeros((p.ny + 2, 1))
+        wN = np.zeros((H, 1))
         wN[1 : p.ny + 1, 0] = p.wN[1 : p.ny + 1, 1]
-        wS = np.zeros((p.ny + 2, 1))
+        wS = np.zeros((H, 1))
         wS[1 : p.ny + 1, 0] = p.wS[1 : p.ny + 1, 1]
         sep = True
     else:
@@ -163,13 +182,15 @@ def _build_level(p: PoissonProblem, dtype) -> _Level:
     return _Level(
         wE=jnp.asarray(wE, dtype), wW=jnp.asarray(wW, dtype),
         wN=jnp.asarray(wN, dtype), wS=jnp.asarray(wS, dtype),
-        idx2=idx2, idy2=idy2, shape=p.shape, separable=sep,
+        idx2=idx2, idy2=idy2, shape=(H, W), separable=sep,
+        ny=p.ny, nx=p.nx,
     )
 
 
 def _inline_masks(level: _Level):
     """(interior, red, black) from iotas — fused by XLA, zero HBM traffic."""
-    ny, nx = level.shape[0] - 2, level.shape[1] - 2
+    ny = level.ny if level.ny >= 0 else level.shape[0] - 2
+    nx = level.nx if level.nx >= 0 else level.shape[1] - 2
     jj = jax.lax.broadcasted_iota(jnp.int32, level.shape, 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, level.shape, 1)
     interior = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
@@ -267,8 +288,10 @@ def _restrict(fine: _Level, coarse: _Level, r):
     change on the offset-sliced operand that costs ~3 ms per call at 2048^2
     inside the compiled V-cycle (profiled: the single most expensive op in
     the whole solver), vs ~0.02 ms for the windowed form."""
-    ny_f, nx_f = fine.shape[0] - 2, fine.shape[1] - 2
-    ny_c, nx_c = coarse.shape[0] - 2, coarse.shape[1] - 2
+    ny_f = fine.ny if fine.ny >= 0 else fine.shape[0] - 2
+    nx_f = fine.nx if fine.nx >= 0 else fine.shape[1] - 2
+    ny_c = coarse.ny if coarse.ny >= 0 else coarse.shape[0] - 2
+    nx_c = coarse.nx if coarse.nx >= 0 else coarse.shape[1] - 2
     inner = r[1 : ny_f + 1, 1 : nx_f + 1]
     rc = jax.lax.reduce_window(inner, jnp.zeros((), r.dtype), jax.lax.add,
                                (2, 2), (2, 2), "VALID") * 0.25
@@ -283,8 +306,10 @@ def _prolong(coarse: _Level, fine: _Level, e):
     V-cycle at ~0.86/cycle; bilinear restores mesh-independent rates.
     Boundary ghosts are edge-extrapolated (Neumann in the correction), which
     post-smoothing localizes to O(h) boundary error per cycle."""
-    ny_c, nx_c = coarse.shape[0] - 2, coarse.shape[1] - 2
-    ny_f, nx_f = fine.shape[0] - 2, fine.shape[1] - 2
+    ny_c = coarse.ny if coarse.ny >= 0 else coarse.shape[0] - 2
+    nx_c = coarse.nx if coarse.nx >= 0 else coarse.shape[1] - 2
+    ny_f = fine.ny if fine.ny >= 0 else fine.shape[0] - 2
+    nx_f = fine.nx if fine.nx >= 0 else fine.shape[1] - 2
     ce = jnp.pad(e[1 : ny_c + 1, 1 : nx_c + 1], 1, mode="edge")
     c = ce[1:-1, 1:-1]
     cw, ceast = ce[1:-1, :-2], ce[1:-1, 2:]
@@ -370,8 +395,17 @@ def make_multigrid_poisson(
     n_interior: int | None = None,
     exact_level0: tuple[Callable, Callable] | None = None,
     use_pallas: bool | str = "auto",
+    aligned_io: bool = False,
+    pallas_interpret: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns solve(p_warm, b) -> (p, cycles, residual_inf).
+
+    ``aligned_io``: solve() takes/returns the finest-level arrays in the
+    Mosaic-aligned layout (round_up(ny+2,8) x round_up(nx+2,128), zeros
+    beyond the logical grid) so a caller that keeps the whole flow state
+    aligned pays no per-call pad/slice layout copies. Requires the Pallas
+    smoother path (separable problem, no exact_level0, no pin_mean);
+    ``pallas_interpret`` runs the kernels in interpreter mode (CPU tests).
 
     Matches the SOR solver call contract in cfd_tpu.poisson.sor so cases can
     swap solvers freely. ``cycles`` counts V-cycles (not sweeps).
@@ -403,6 +437,13 @@ def make_multigrid_poisson(
         use_pallas = (np.dtype(dtype) == np.float32
                       and platform == "tpu"
                       and all(lv.separable for lv in levels))
+    if aligned_io:
+        if not use_pallas or exact_level0 is not None or cfg.pin_mean:
+            raise ValueError("aligned_io requires the plain Pallas-smoothed "
+                             "separable path")
+        # swap the finest level for its aligned twin: all level-0 XLA ops
+        # (residual, restrict, prolong, masks) then run on aligned arrays
+        levels[0] = _build_level(problem, dtype, aligned=True)
     pallas_pairs = {}
     pallas_post0_res = None
     if use_pallas:
@@ -410,7 +451,9 @@ def make_multigrid_poisson(
 
         for k, lv in enumerate(levels):
             pallas_pairs[k] = {
-                n: rb_pairs_for_level(lv, cfg.omega, n)
+                n: rb_pairs_for_level(lv, cfg.omega, n,
+                                      interpret=pallas_interpret,
+                                      aligned_io=aligned_io and k == 0)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
         if exact_level0 is None and not cfg.pin_mean:
@@ -420,7 +463,8 @@ def make_multigrid_poisson(
             # the fused value would only be valid for exactly-null-space
             # constants — keep the separate pass there)
             pallas_post0_res = rb_pairs_for_level(
-                levels[0], cfg.omega, cfg.post_sweeps, with_residual=True)
+                levels[0], cfg.omega, cfg.post_sweeps, with_residual=True,
+                interpret=pallas_interpret, aligned_io=aligned_io)
 
     def smooth_pair(level, p, b, n, level_idx=None):
         if level_idx is not None and level_idx in pallas_pairs:
