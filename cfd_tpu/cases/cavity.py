@@ -95,7 +95,7 @@ def make_cavity_case(
             make_predictor_source(grid.shape, coeffs, lid_velocity,
                                   aligned_io=True, interpret=interp),
             make_corrector(grid.shape, coeffs, lid_velocity, aligned_io=True,
-                           interpret=interp),
+                           interpret=interp, emit_guess=True),
         )
         solve = make_multigrid_poisson(
             cavity_problem(n_interior, n_interior, grid.dx, grid.dy),

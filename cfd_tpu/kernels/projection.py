@@ -219,10 +219,14 @@ def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
 
 def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
                    tile_rows: int = 64, interpret: bool = False,
-                   aligned_io: bool = False):
-    """(us, vs, p, u, v) -> (u2, v2), the rho-multiplied cavity projection
-    (cavity-01.cpp:695-711) with the BC'd previous fields on invalid faces
-    (the reference leaves those entries untouched)."""
+                   aligned_io: bool = False, emit_guess: bool = False):
+    """(us, vs, p, u, v[, p_prev]) -> (u2, v2[, guess]): the rho-multiplied
+    cavity projection (cavity-01.cpp:695-711) with the BC'd previous fields
+    on invalid faces (the reference leaves those entries untouched).
+
+    ``emit_guess``: also emit the NEXT step's extrapolated Poisson warm
+    start guess = 2 p - p_prev in the same pass (the kernel already reads
+    the fresh p; this removes a separate whole-array XLA pass per step)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     cu = coeffs.dt / coeffs.dx * coeffs.density
@@ -230,16 +234,23 @@ def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
     lid = lid_velocity
 
     def compute(s, ins):
-        us, vs, p, u, v = ins
+        if emit_guess:
+            us, vs, p, u, v, p_prev = ins
+        else:
+            us, vs, p, u, v = ins
         slab, W = u.shape
         uP, vP, grow, gcol = _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W)
         u_new = us - cu * (_roll(p, 0, 1) - p)
         v_new = vs - cv * (_roll(p, 1, 0) - p)
         u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
         v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
-        return [jnp.where(u_valid, u_new, uP), jnp.where(v_valid, v_new, vP)]
+        outs = [jnp.where(u_valid, u_new, uP), jnp.where(v_valid, v_new, vP)]
+        if emit_guess:
+            outs.append(2.0 * p - p_prev)
+        return outs
 
-    call, _ = _make_slab_kernel(shape, n_in=5, n_out=2, compute=compute,
+    n_in, n_out = (6, 3) if emit_guess else (5, 2)
+    call, _ = _make_slab_kernel(shape, n_in=n_in, n_out=n_out, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
                                 aligned_io=aligned_io)
     return call

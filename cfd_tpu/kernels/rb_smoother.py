@@ -38,6 +38,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                   wN: np.ndarray, wS: np.ndarray, idx2: float, idy2: float,
                   omega: float, n_pairs: int, tile_rows: int = 64,
                   interpret: bool = False, with_residual: bool = False,
+                  with_residual_field: bool = False,
                   aligned_io: bool = False, ny: int | None = None,
                   nx: int | None = None):
     """Build pairs(p, b) -> p after ``n_pairs`` red+black sweeps.
@@ -72,8 +73,14 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     # one MORE valid row than the sweeps consumed (2*n_pairs < halo strictly;
     # with n_pairs=4 the plain round_up gave halo == 2*n_pairs = 8 and the
     # edge rows read stale neighbors).
-    halo = _round_up(2 * n_pairs + (1 if with_residual else 0), 8)
-    assert not with_residual or 2 * n_pairs < halo
+    # with_residual_field: also emit the signed residual FIELD b - A p of
+    # the smoothed state (feeds restriction without a separate XLA pass —
+    # the V-cycle's pre-smooth + residual in one HBM trip). Same +-1
+    # neighbor requirement as the fused max-residual.
+    assert not (with_residual and with_residual_field)
+    any_res = with_residual or with_residual_field
+    halo = _round_up(2 * n_pairs + (1 if any_res else 0), 8)
+    assert not any_res or 2 * n_pairs < halo
     T = min(_round_up(tile_rows, 8), H8)
     if T + 2 * halo >= H8:
         T = H8  # small level: one whole-array tile
@@ -94,8 +101,11 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     wS_v = jnp.asarray(ws_np, jnp.float32).reshape(H8, 1)
 
     def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, *out_and_scratch):
+        r_hbm = r_s = res_ref = None
         if with_residual:
             out_hbm, res_ref, p_s, b_s, sems = out_and_scratch
+        elif with_residual_field:
+            out_hbm, r_hbm, p_s, b_s, r_s, sems = out_and_scratch
         else:
             out_hbm, p_s, b_s, sems = out_and_scratch
         i = pl.program_id(0)
@@ -175,7 +185,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             lo = 2 * k + 1
             p = half(p, interior & even & band(lo))
             p = half(p, interior & ~even & band(lo + 1))
-        if with_residual:
+        if with_residual or with_residual_field:
             # residual of the smoothed state over this tile's own rows
             # (rows r0..r0+T-1 and their +-1 neighbors are valid: halo >= 8
             # while n_pairs consumes only 2*n_pairs rows)
@@ -185,31 +195,50 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             pS = jnp.roll(p, 1, axis=0)
             ap = (idx2 * (we * (pE - p) + ww * (pW - p))
                   + idy2 * (wn * (pN - p) + ws * (pS - p)))
-            own = interior & (grow >= r0) & (grow < r0 + T)
-            r = jnp.where(own, jnp.abs(b - ap), jnp.zeros_like(b))
-            tile_max = jnp.max(r)
-            # running max across the (sequential) grid into one SMEM scalar
+            if with_residual:
+                own = interior & (grow >= r0) & (grow < r0 + T)
+                r = jnp.where(own, jnp.abs(b - ap), jnp.zeros_like(b))
+                tile_max = jnp.max(r)
+                # running max across the (sequential) grid into one SMEM scalar
 
-            @pl.when(i == 0)
-            def _():
-                res_ref[0, 0] = tile_max
+                @pl.when(i == 0)
+                def _():
+                    res_ref[0, 0] = tile_max
 
-            @pl.when(i > 0)
-            def _():
-                res_ref[0, 0] = jnp.maximum(res_ref[0, 0], tile_max)
+                @pl.when(i > 0)
+                def _():
+                    res_ref[0, 0] = jnp.maximum(res_ref[0, 0], tile_max)
+            else:
+                r_s[slot] = jnp.where(interior, b - ap, jnp.zeros_like(b))
         p_s[slot] = p  # write back into the slab scratch; DMA a ref slice out
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         out = pltpu.make_async_copy(p_s.at[slot, pl.ds(off, T), :],
                                     out_hbm.at[pl.ds(r0, T), :], sems.at[slot, 2])
         out.start()
+        if with_residual_field:
+            out_r = pltpu.make_async_copy(r_s.at[slot, pl.ds(off, T), :],
+                                          r_hbm.at[pl.ds(r0, T), :],
+                                          sems.at[slot, 3])
+            out_r.start()
+            out_r.wait()
         out.wait()
 
     out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
     out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    scratch = [
+        pltpu.VMEM((2, slab, W), jnp.float32),
+        pltpu.VMEM((2, slab, W), jnp.float32),
+    ]
+    n_sems = 3
     if with_residual:
         out_shape = (out_shape, jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs = (out_specs,
                      pl.BlockSpec(memory_space=pltpu.SMEM))
+    elif with_residual_field:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H8, W), jnp.float32))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch.append(pltpu.VMEM((2, slab, W), jnp.float32))
+        n_sems = 4
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -223,11 +252,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, slab, W), jnp.float32),
-            pltpu.VMEM((2, slab, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2, n_sems))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),
     )
@@ -242,6 +267,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         if with_residual:
             out, res = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
             return (out, res[0, 0]) if aligned_io else (out[:H, :Wp], res[0, 0])
+        if with_residual_field:
+            out, r = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
+            return (out, r) if aligned_io else (out[:H, :Wp], r[:H, :Wp])
         out = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
         return out if aligned_io else out[:H, :Wp]
 
@@ -249,7 +277,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
 
 
 def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = False,
-                       with_residual: bool = False, aligned_io: bool = False):
+                       with_residual: bool = False,
+                       with_residual_field: bool = False,
+                       aligned_io: bool = False):
     """Adapter from a multigrid ``_Level`` (separable) to the kernel."""
     if not level.separable:
         raise ValueError("pallas rb smoother requires a separable level")
@@ -261,6 +291,7 @@ def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = Fals
         np.asarray(level.wN).reshape(H),
         np.asarray(level.wS).reshape(H),
         level.idx2, level.idy2, omega, n_pairs, interpret=interpret,
-        with_residual=with_residual, aligned_io=aligned_io,
+        with_residual=with_residual, with_residual_field=with_residual_field,
+        aligned_io=aligned_io,
         ny=level.ny if level.ny >= 0 else None,
         nx=level.nx if level.nx >= 0 else None)

@@ -465,6 +465,13 @@ def make_multigrid_poisson(
             pallas_post0_res = rb_pairs_for_level(
                 levels[0], cfg.omega, cfg.post_sweeps, with_residual=True,
                 interpret=pallas_interpret, aligned_io=aligned_io)
+    pallas_pre0_field = None
+    if use_pallas and exact_level0 is None:
+        # pre-smooth + signed residual FIELD in one kernel: the V-cycle's
+        # restriction input without a separate whole-array XLA residual pass
+        pallas_pre0_field = rb_pairs_for_level(
+            levels[0], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
+            interpret=pallas_interpret, aligned_io=aligned_io)
 
     def smooth_pair(level, p, b, n, level_idx=None):
         if level_idx is not None and level_idx in pallas_pairs:
@@ -496,8 +503,11 @@ def make_multigrid_poisson(
         if k == len(levels) - 1:
             return coarse_solve(b)
         if k == 0:
-            p = smooth0(p, b, cfg.pre_sweeps)
-            r = residual0(p, b)
+            if pallas_pre0_field is not None:
+                p, r = pallas_pre0_field(p, b)
+            else:
+                p = smooth0(p, b, cfg.pre_sweeps)
+                r = residual0(p, b)
         else:
             p = smooth_pair(level, p, b, cfg.pre_sweeps, level_idx=k)
             r = _residual(level, p, b)

@@ -128,12 +128,16 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
     if case.ordering == "cavity" and case.step_kernels is not None:
         pred_src, corr = case.step_kernels
 
+        # The state's p_prev slot carries the NEXT step's extrapolated warm
+        # start guess (2 p - p_prev), emitted by the corrector kernel in the
+        # same pass that reads the fresh p — no separate whole-array
+        # extrapolation op. Initial guess = zeros = the extrapolation of two
+        # zero pressures, matching the XLA path's first step exactly.
         def step(state: State) -> tuple[State, StepDiagnostics]:
             us, vs, b = pred_src(state.u, state.v)  # fused BC+predictor+source
-            guess = 2.0 * state.p - state.p_prev if extrap else state.p
-            p, iters, res = case.poisson_solve(guess, b)
-            u2, v2 = corr(us, vs, p, state.u, state.v)  # fused BC+projection
-            return State(u2, v2, p, state.T, state.p if extrap else None), \
+            p, iters, res = case.poisson_solve(state.p_prev, b)
+            u2, v2, guess = corr(us, vs, p, state.u, state.v, state.p)
+            return State(u2, v2, p, state.T, guess), \
                 StepDiagnostics(iters, res)
 
     elif case.ordering == "cavity":
