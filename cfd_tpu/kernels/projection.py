@@ -157,6 +157,9 @@ def _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W):
 def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
                           tile_rows: int = 64, interpret: bool = False,
                           aligned_io: bool = False):
+    # tile_rows stays 64: the predictor body keeps ~10 slab-sized
+    # temporaries live, and Mosaic's scoped-VMEM accounting (16 MB) counts
+    # them — 128-row slabs OOM at compile time.
     """pairs (u, v) -> (us, vs, b) for the cavity rectangle case.
 
     ``shape`` = padded (ny+2, nx+2); coeffs supplies dx/dy/dt/viscosity/
