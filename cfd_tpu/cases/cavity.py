@@ -93,7 +93,8 @@ def make_cavity_case(
 
         step_kernels = (
             make_predictor_source(grid.shape, coeffs, lid_velocity,
-                                  aligned_io=True, interpret=interp),
+                                  aligned_io=True, interpret=interp,
+                                  emit_max_b=True),
             make_corrector(grid.shape, coeffs, lid_velocity, aligned_io=True,
                            interpret=interp, emit_guess=True),
         )

@@ -47,10 +47,14 @@ def _roll(a, dj, di):
 
 def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
                       interpret: bool, halo: int = 8,
-                      aligned_io: bool = False):
+                      aligned_io: bool = False, scalar_max: bool = False):
     """Shared skeleton: stream ``n_in`` HBM arrays through overlapping row
     slabs, run ``compute(i_tile, slab_start, inputs) -> outputs`` (lists of
     (slab, W) arrays), write back each tile's own rows of ``n_out`` outputs.
+
+    ``scalar_max``: compute returns one extra (slab, W) array whose running
+    max over each tile's own rows is reduced into an extra (1, 1) SMEM
+    output (e.g. max|b| for the Poisson tolerance, without re-reading b).
     """
     H, Wp = shape
     H8 = _round_up(H, 8)
@@ -61,11 +65,15 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
     slab = min(T + 2 * halo, H8)
     n_tiles = -(-H8 // T)
 
+    n_hbm_out = n_out + (1 if scalar_max else 0)
+
     def kernel(*refs):
         in_hbm = refs[:n_in]
         out_hbm = refs[n_in : n_in + n_out]
-        in_s = refs[n_in + n_out : n_in + n_out + n_in]
-        out_s = refs[n_in + n_out + n_in : n_in + n_out + n_in + n_out]
+        smax_ref = refs[n_in + n_out] if scalar_max else None
+        k0 = n_in + n_hbm_out
+        in_s = refs[k0 : k0 + n_in]
+        out_s = refs[k0 + n_in : k0 + n_in + n_out]
         sems = refs[-1]
         i = pl.program_id(0)
 
@@ -97,6 +105,19 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
                                   in_s[k].at[slot], sems.at[slot, k]).wait()
 
         outs = compute(s, [in_s[k][slot] for k in range(n_in)])
+        if scalar_max:
+            *outs, max_arr = outs
+            grow = s + jax.lax.broadcasted_iota(jnp.int32, max_arr.shape, 0)
+            own = (grow >= r0) & (grow < r0 + T)
+            tile_max = jnp.max(jnp.where(own, max_arr, jnp.zeros_like(max_arr)))
+
+            @pl.when(i == 0)
+            def _():
+                smax_ref[0, 0] = tile_max
+
+            @pl.when(i > 0)
+            def _():
+                smax_ref[0, 0] = jnp.maximum(smax_ref[0, 0], tile_max)
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         copies = []
         for k in range(n_out):
@@ -109,12 +130,17 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
         for cp in copies:
             cp.wait()
 
+    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+    out_shape = [jax.ShapeDtypeStruct((H8, W), jnp.float32)] * n_out
+    if scalar_max:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.ANY)] * n_out),
-        out_shape=tuple([jax.ShapeDtypeStruct((H8, W), jnp.float32)] * n_out),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=(
             [pltpu.VMEM((2, slab, W), jnp.float32) for _ in range(n_in)]
             + [pltpu.VMEM((2, slab, W), jnp.float32) for _ in range(n_out)]
@@ -128,11 +154,17 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
         if aligned_io:
             # caller keeps the state in the (H8, W) aligned layout with
             # zeros beyond the logical grid: no pad/slice layout copies
-            return fn(*arrays)
+            outs = fn(*arrays)
+            if scalar_max:
+                return tuple(outs[:-1]) + (outs[-1][0, 0],)
+            return outs
         padded = [jnp.pad(a.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
                   for a in arrays]
         outs = fn(*padded)
-        return tuple(o[:H, :Wp] for o in outs)
+        sliced = tuple(o[:H, :Wp] for o in outs[:n_out])
+        if scalar_max:
+            return sliced + (outs[-1][0, 0],)
+        return sliced
 
     return call, (H8, W, slab)
 
@@ -156,14 +188,16 @@ def _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W):
 
 def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
                           tile_rows: int = 64, interpret: bool = False,
-                          aligned_io: bool = False):
+                          aligned_io: bool = False, emit_max_b: bool = False):
     # tile_rows stays 64: the predictor body keeps ~10 slab-sized
     # temporaries live, and Mosaic's scoped-VMEM accounting (16 MB) counts
     # them — 128-row slabs OOM at compile time.
-    """pairs (u, v) -> (us, vs, b) for the cavity rectangle case.
+    """pairs (u, v) -> (us, vs, b[, max|b|]) for the cavity rectangle case.
 
     ``shape`` = padded (ny+2, nx+2); coeffs supplies dx/dy/dt/viscosity/
-    density (host scalars, baked into the kernel).
+    density (host scalars, baked into the kernel). ``emit_max_b`` also
+    returns the scalar max|b| (the Poisson tolerance base) without a
+    separate whole-array reduce pass.
     """
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
@@ -212,11 +246,13 @@ def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
         cell = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx)
         div = (us - _roll(us, 0, -1)) * idx + (vs - _roll(vs, -1, 0)) * idy
         b = jnp.where(cell, rho_dt * div, zero)
+        if emit_max_b:
+            return [us, vs, b, jnp.abs(b)]
         return [us, vs, b]
 
     call, _ = _make_slab_kernel(shape, n_in=2, n_out=3, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
-                                aligned_io=aligned_io)
+                                aligned_io=aligned_io, scalar_max=emit_max_b)
     return call
 
 

@@ -441,9 +441,15 @@ def make_multigrid_poisson(
         if not use_pallas or exact_level0 is not None or cfg.pin_mean:
             raise ValueError("aligned_io requires the plain Pallas-smoothed "
                              "separable path")
-        # swap the finest level for its aligned twin: all level-0 XLA ops
-        # (residual, restrict, prolong, masks) then run on aligned arrays
-        levels[0] = _build_level(problem, dtype, aligned=True)
+        # rebuild EVERY level aligned: all transfers and smoothers then run
+        # on aligned arrays with no pad/slice layout copies anywhere in the
+        # V-cycle (the small-level size increase is negligible)
+        probs = [problem]
+        while len(probs) < len(levels):
+            probs.append(coarsen_problem(probs[-1]))
+        levels = [_build_level(p, dtype, aligned=True) for p in probs]
+        bot = levels[-1]
+        bot_ny, bot_nx = bot.ny, bot.nx
     pallas_pairs = {}
     pallas_post0_res = None
     if use_pallas:
@@ -453,7 +459,7 @@ def make_multigrid_poisson(
             pallas_pairs[k] = {
                 n: rb_pairs_for_level(lv, cfg.omega, n,
                                       interpret=pallas_interpret,
-                                      aligned_io=aligned_io and k == 0)
+                                      aligned_io=aligned_io)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
         if exact_level0 is None and not cfg.pin_mean:
@@ -520,9 +526,12 @@ def make_multigrid_poisson(
             return smooth0(p, b, cfg.post_sweeps)
         return smooth_pair(level, p, b, cfg.post_sweeps, level_idx=k)
 
-    def solve(p_warm, b):
+    def solve(p_warm, b, max_b=None):
+        """``max_b``: optionally precomputed max|b| (e.g. fused into the
+        source-build kernel) — skips a whole-array reduce."""
         dtype_ = b.dtype
-        max_b = jnp.max(jnp.abs(b))
+        if max_b is None:
+            max_b = jnp.max(jnp.abs(b))
         tol = jnp.maximum(cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
                           jnp.asarray(cfg.abs_tol, dtype_))
         top_interior, _, _ = _inline_masks(top)

@@ -134,8 +134,9 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
         # extrapolation op. Initial guess = zeros = the extrapolation of two
         # zero pressures, matching the XLA path's first step exactly.
         def step(state: State) -> tuple[State, StepDiagnostics]:
-            us, vs, b = pred_src(state.u, state.v)  # fused BC+predictor+source
-            p, iters, res = case.poisson_solve(state.p_prev, b)
+            # fused BC+predictor+source (+ the tolerance base max|b|)
+            us, vs, b, max_b = pred_src(state.u, state.v)
+            p, iters, res = case.poisson_solve(state.p_prev, b, max_b)
             u2, v2, guess = corr(us, vs, p, state.u, state.v, state.p)
             return State(u2, v2, p, state.T, guess), \
                 StepDiagnostics(iters, res)
