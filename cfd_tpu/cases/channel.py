@@ -36,6 +36,7 @@ def make_channel_case(
     poisson_check_every: int = 1,
     poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
+    step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
 ) -> Case:
     ensure_dtype_enabled(dtype)
     grid = Grid.regular(nx, ny, length, height)
@@ -67,9 +68,55 @@ def make_channel_case(
         poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
+
+    # Fused Pallas stage kernels for f32 rectangle multigrid runs (TPU, or
+    # interpret mode for CPU tests), mirroring the cavity flavor: state
+    # carried Mosaic-aligned, channel BCs applied in-kernel, source sum
+    # emitted for the mean removal (kernels.projection channel family).
+    step_kernels = None
+    align_state = unalign_state = None
+    import numpy as _np
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device
+    platform = dev.platform if dev is not None else _jax.default_backend()
+    interp = step_kernel_mode == "interpret"
+    if (_np.dtype(dtype) == _np.float32 and poisson == "multigrid"
+            and (interp or (step_kernel_mode == "auto" and platform == "tpu"))):
+        from cfd_tpu.kernels.projection import (
+            make_channel_corrector, make_channel_predictor_source)
+        from cfd_tpu.poisson.multigrid import _round_up8_128
+
+        step_kernels = (
+            make_channel_predictor_source(grid.shape, coeffs, inlet_velocity,
+                                          aligned_io=True, interpret=interp),
+            make_channel_corrector(grid.shape, coeffs, inlet_velocity,
+                                   aligned_io=True, interpret=interp,
+                                   emit_guess=True),
+        )
+        solve = make_multigrid_poisson(
+            channel_problem(nx, ny, grid.dx, grid.dy),
+            mg, dtype=dtype, aligned_io=True, use_pallas=True,
+            pallas_interpret=interp,
+        )
+        H, Wp = grid.shape
+        H8, W = _round_up8_128(grid.shape)
+
+        def _map(state, f):
+            from cfd_tpu.state import State
+            return State(*(None if a is None else f(a) for a in state))
+
+        def align_state(state):
+            return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+
+        def unalign_state(state):
+            return _map(state, lambda a: a[:H, :Wp])
     return Case(
         name="channel",
         poisson_max_iters=poisson_cap,
+        step_kernels=step_kernels,
+        align_state=align_state,
+        unalign_state=unalign_state,
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,

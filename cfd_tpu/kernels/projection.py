@@ -47,19 +47,28 @@ def _roll(a, dj, di):
 
 def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
                       interpret: bool, halo: int = 8,
-                      aligned_io: bool = False, scalar_max: bool = False):
+                      aligned_io: bool = False, scalar_reduce: str | None = None):
     """Shared skeleton: stream ``n_in`` HBM arrays through overlapping row
     slabs, run ``compute(i_tile, slab_start, inputs) -> outputs`` (lists of
     (slab, W) arrays), write back each tile's own rows of ``n_out`` outputs.
 
-    ``scalar_max``: compute returns one extra (slab, W) array whose running
-    max over each tile's own rows is reduced into an extra (1, 1) SMEM
-    output (e.g. max|b| for the Poisson tolerance, without re-reading b).
+    ``scalar_reduce`` ("max" | "sum"): compute returns one extra (slab, W)
+    array reduced across tiles into an extra (1, 1) SMEM output (e.g.
+    max|b| for the Poisson tolerance, sum(b) for mean removal — without
+    re-reading b). The reduction band excludes rows the clamped last tile
+    recomputes, so "sum" never double-counts.
     """
+    scalar_max = scalar_reduce is not None  # one extra SMEM output
     H, Wp = shape
     H8 = _round_up(H, 8)
     W = _round_up(Wp, 128)
-    T = min(_round_up(tile_rows, 8), H8)
+    # Mosaic's scoped-VMEM accounting (16 MB) covers the slab buffers AND the
+    # kernel body's live temporaries — measured ~82 bytes per slab cell for
+    # these stencil bodies. Shrink the tile adaptively so wide grids
+    # (4096^2+) stay inside the budget instead of failing at compile time.
+    slab_cap = int(15.0e6 // (82 * W))
+    t_cap = max(8, ((slab_cap - 2 * halo) // 8) * 8)
+    T = min(_round_up(tile_rows, 8), t_cap, H8)
     if T + 2 * halo >= H8:
         T = H8
     slab = min(T + 2 * halo, H8)
@@ -106,18 +115,27 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
 
         outs = compute(s, [in_s[k][slot] for k in range(n_in)])
         if scalar_max:
-            *outs, max_arr = outs
-            grow = s + jax.lax.broadcasted_iota(jnp.int32, max_arr.shape, 0)
-            own = (grow >= r0) & (grow < r0 + T)
-            tile_max = jnp.max(jnp.where(own, max_arr, jnp.zeros_like(max_arr)))
+            *outs, red_arr = outs
+            grow = s + jax.lax.broadcasted_iota(jnp.int32, red_arr.shape, 0)
+            # unique band: the clamped last tile overlaps its predecessor's
+            # rows — start after the previous tile's end so "sum" counts
+            # each row exactly once ("max" is idempotent but shares this)
+            prev_r0 = jnp.minimum((i - 1) * T, H8 - T).astype(jnp.int32)
+            start = jnp.where(i > 0, prev_r0 + T, 0)
+            own = (grow >= jnp.maximum(r0, start)) & (grow < r0 + T)
+            masked = jnp.where(own, red_arr, jnp.zeros_like(red_arr))
+            tile_val = jnp.max(masked) if scalar_reduce == "max" else jnp.sum(masked)
 
             @pl.when(i == 0)
             def _():
-                smax_ref[0, 0] = tile_max
+                smax_ref[0, 0] = tile_val
 
             @pl.when(i > 0)
             def _():
-                smax_ref[0, 0] = jnp.maximum(smax_ref[0, 0], tile_max)
+                if scalar_reduce == "max":
+                    smax_ref[0, 0] = jnp.maximum(smax_ref[0, 0], tile_val)
+                else:
+                    smax_ref[0, 0] = smax_ref[0, 0] + tile_val
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         copies = []
         for k in range(n_out):
@@ -252,7 +270,8 @@ def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
 
     call, _ = _make_slab_kernel(shape, n_in=2, n_out=3, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
-                                aligned_io=aligned_io, scalar_max=emit_max_b)
+                                aligned_io=aligned_io,
+                                scalar_reduce="max" if emit_max_b else None)
     return call
 
 
@@ -289,6 +308,131 @@ def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
         return outs
 
     n_in, n_out = (6, 3) if emit_guess else (5, 2)
+    call, _ = _make_slab_kernel(shape, n_in=n_in, n_out=n_out, compute=compute,
+                                tile_rows=tile_rows, interpret=interpret,
+                                aligned_io=aligned_io)
+    return call
+
+
+def _channel_bc_slab(u, v, s, ny, nx, uin, slab, W):
+    """Channel inflow/outflow ghost BCs (channel-01.cpp:513-529) on a slab,
+    in the reference's exact update order (the ghost rows read the already-
+    updated inlet/outlet columns): inlet u/v, outlet zero-gradient u/v,
+    bottom wall v + u-ghost, top wall v + u-ghost."""
+    grow = s + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
+    u = jnp.where((gcol == 0) & (grow >= 1) & (grow <= ny),
+                  jnp.full_like(u, uin), u)
+    v = jnp.where((gcol == 0) & (grow <= ny), jnp.zeros_like(v), v)
+    u = jnp.where((gcol == nx) & (grow >= 1) & (grow <= ny), _roll(u, 0, -1), u)
+    v = jnp.where((gcol == nx + 1) & (grow <= ny), _roll(v, 0, -1), v)
+    v = jnp.where((grow == 0) & (gcol >= 1) & (gcol <= nx), jnp.zeros_like(v), v)
+    u = jnp.where((grow == 0) & (gcol <= nx), -_roll(u, 1, 0), u)
+    v = jnp.where((grow == ny) & (gcol >= 1) & (gcol <= nx), jnp.zeros_like(v), v)
+    u = jnp.where((grow == ny + 1) & (gcol <= nx), -_roll(u, -1, 0), u)
+    return u, v, grow, gcol
+
+
+def _predictor_slab(u, v, coeffs):
+    """Shared MAC predictor math on a slab (cavity-01.cpp:548-603 /
+    channel-01.cpp:546-603, anisotropic)."""
+    nu, dt = coeffs.viscosity, coeffs.dt
+    idx, idy = coeffs.idx, coeffs.idy
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+    uE, uW, uN, uS = _roll(u, 0, 1), _roll(u, 0, -1), _roll(u, 1, 0), _roll(u, -1, 0)
+    vE, vW, vN, vS = _roll(v, 0, 1), _roll(v, 0, -1), _roll(v, 1, 0), _roll(v, -1, 0)
+    lap_u = (uE - 2.0 * u + uW) * idx2 + (uN - 2.0 * u + uS) * idy2
+    u_e = 0.5 * (u + uE)
+    u_w = 0.5 * (uW + u)
+    conv_ux = (u_e * u_e - u_w * u_w) * idx
+    v_n = 0.5 * (v + vE)
+    v_s = 0.5 * (vS + _roll(v, -1, 1))
+    u_n = 0.5 * (uN + u)
+    u_s = 0.5 * (uS + u)
+    conv_uy = (v_n * u_n - v_s * u_s) * idy
+    u_star = u + dt * (nu * lap_u - conv_ux - conv_uy)
+    lap_v = (vE - 2.0 * v + vW) * idx2 + (vN - 2.0 * v + vS) * idy2
+    v_nn = 0.5 * (v + vN)
+    v_ss = 0.5 * (vS + v)
+    conv_vy = (v_nn * v_nn - v_ss * v_ss) * idy
+    u_e2 = 0.5 * (u + uN)
+    u_w2 = 0.5 * (uW + _roll(u, 1, -1))
+    v_e2 = 0.5 * (v + vE)
+    v_w2 = 0.5 * (vW + v)
+    conv_vx = (u_e2 * v_e2 - u_w2 * v_w2) * idx
+    v_star = v + dt * (nu * lap_v - conv_vy - conv_vx)
+    return u_star, v_star
+
+
+def make_channel_predictor_source(shape, coeffs, inlet_velocity: float = 1.0,
+                                  tile_rows: int = 64, interpret: bool = False,
+                                  aligned_io: bool = False):
+    """(u, v) -> (us, vs, b_raw, sum_b) for the channel ordering
+    (channel-01.cpp:365-376): predictor on the BC'd carried state, channel
+    BCs applied to the TENTATIVE fields, raw source b = (rho/dt) div(u*)
+    plus its interior sum (the caller subtracts the mean, the channel
+    compatibility trick channel-01.cpp:620-628, as one cheap fused op)."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    idx, idy = coeffs.idx, coeffs.idy
+    rho_dt = coeffs.density / coeffs.dt
+    uin = inlet_velocity
+
+    def compute(s, ins):
+        u, v = ins
+        slab, W = u.shape
+        grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
+        u_star, v_star = _predictor_slab(u, v, coeffs)
+        u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
+        v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
+        zero = jnp.zeros_like(u)
+        us = jnp.where(u_valid, u_star, zero)
+        vs = jnp.where(v_valid, v_star, zero)
+        us, vs, grow, gcol = _channel_bc_slab(us, vs, s, ny, nx, uin, slab, W)
+        cell = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx)
+        div = (us - _roll(us, 0, -1)) * idx + (vs - _roll(vs, -1, 0)) * idy
+        b = jnp.where(cell, rho_dt * div, zero)
+        return [us, vs, b, b]  # last entry feeds the scalar sum
+
+    call, _ = _make_slab_kernel(shape, n_in=2, n_out=3, compute=compute,
+                                tile_rows=tile_rows, interpret=interpret,
+                                aligned_io=aligned_io, scalar_reduce="sum")
+    return call
+
+
+def make_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
+                           tile_rows: int = 64, interpret: bool = False,
+                           aligned_io: bool = False, emit_guess: bool = True):
+    """(us, vs, p, u, v, p_prev) -> (u2, v2, guess): rho-DIVIDED projection
+    (channel-01.cpp:693-702) on valid faces (invalid faces keep the carried
+    state), then channel BCs on the corrected fields
+    (channel-01.cpp:385-386), plus the next step's extrapolated warm-start
+    guess."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    cu = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    uin = inlet_velocity
+
+    def compute(s, ins):
+        us, vs, p, u, v, p_prev = ins
+        slab, W = u.shape
+        grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
+        u_new = us - cu * (_roll(p, 0, 1) - p)
+        v_new = vs - cv * (_roll(p, 1, 0) - p)
+        u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
+        v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
+        u2 = jnp.where(u_valid, u_new, u)
+        v2 = jnp.where(v_valid, v_new, v)
+        u2, v2, _, _ = _channel_bc_slab(u2, v2, s, ny, nx, uin, slab, W)
+        outs = [u2, v2]
+        if emit_guess:
+            outs.append(2.0 * p - p_prev)
+        return outs
+
+    n_in, n_out = (6, 3) if emit_guess else (6, 2)
     call, _ = _make_slab_kernel(shape, n_in=n_in, n_out=n_out, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
                                 aligned_io=aligned_io)

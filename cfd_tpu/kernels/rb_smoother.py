@@ -81,7 +81,12 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     any_res = with_residual or with_residual_field
     halo = _round_up(2 * n_pairs + (1 if any_res else 0), 8)
     assert not any_res or 2 * n_pairs < halo
-    T = min(_round_up(tile_rows, 8), H8)
+    # scoped-VMEM budget (16 MB) covers slabs + live temporaries: ~48 bytes
+    # per slab cell measured for the smoother body — shrink tiles on wide
+    # grids (4096^2+) instead of OOMing at compile time
+    slab_cap = int(15.5e6 // (48 * W))
+    t_cap = max(8, ((slab_cap - 2 * halo) // 8) * 8)
+    T = min(_round_up(tile_rows, 8), t_cap, H8)
     if T + 2 * halo >= H8:
         T = H8  # small level: one whole-array tile
     slab = min(T + 2 * halo, H8)

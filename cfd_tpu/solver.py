@@ -141,6 +141,23 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
             return State(u2, v2, p, state.T, guess), \
                 StepDiagnostics(iters, res)
 
+    elif case.ordering == "channel" and case.step_kernels is not None:
+        pred_src, corr = case.step_kernels
+        ny_i, nx_i = grid.ny, grid.nx
+
+        def step(state: State) -> tuple[State, StepDiagnostics]:
+            # fused predictor + BC(u*,v*) + raw source + interior sum
+            us, vs, b, sum_b = pred_src(state.u, state.v)
+            if case.remove_source_mean:
+                jj = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                ii = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+                cell = (jj >= 1) & (jj <= ny_i) & (ii >= 1) & (ii <= nx_i)
+                b = jnp.where(cell, b - sum_b / n_fluid, b)
+            p, iters, res = case.poisson_solve(state.p_prev, b)
+            u2, v2, guess = corr(us, vs, p, state.u, state.v, state.p)
+            return State(u2, v2, p, state.T, guess), \
+                StepDiagnostics(iters, res)
+
     elif case.ordering == "cavity":
 
         def step(state: State) -> tuple[State, StepDiagnostics]:

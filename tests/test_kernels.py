@@ -193,3 +193,32 @@ def test_aligned_fused_step_matches_xla_path():
     row_a = sim_a.statistics(sa)
     row_b = sim_b.statistics(sb)
     assert abs(row_a["avg_kinetic_energy"] - row_b["avg_kinetic_energy"]) < 1e-7
+
+
+def test_aligned_fused_channel_step_matches_xla_path():
+    """The fused channel step (Pallas predictor+BC(u*,v*)+source-sum ->
+    aligned multigrid -> Pallas corrector+BC, aligned state) reproduces the
+    plain XLA channel step's trajectory."""
+    from cfd_tpu.cases.channel import make_channel_case
+    from cfd_tpu.solver import Simulation
+
+    kw = dict(nx=32, ny=16, dtype=jnp.float32, poisson="multigrid",
+              tolerance_factor=1e-5, abs_tol=0.0, final_time=1.0)
+    ref_case = make_channel_case(step_kernel_mode="off", **kw)
+    fused_case = make_channel_case(step_kernel_mode="interpret", **kw)
+    assert fused_case.step_kernels is not None
+
+    sim_a = Simulation(ref_case, log=lambda *a: None)
+    sim_b = Simulation(fused_case, log=lambda *a: None)
+    sa, sb = sim_a.initial_state(), sim_b.initial_state()
+    for k in range(3):
+        sa, da = sim_a._step(sa)
+        sb, db = sim_b._step(sb)
+        assert int(db.poisson_iters) == int(da.poisson_iters), k
+    sb_log = fused_case.unalign_state(sb)
+    np.testing.assert_allclose(np.asarray(sb_log.u), np.asarray(sa.u), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sb_log.v), np.asarray(sa.v), atol=5e-6)
+    # p converges to within the Poisson tolerance, not bitwise: the fused
+    # path's mean removal sums per-tile (different fp order than jnp.sum),
+    # so the two correct solvers stop at slightly different iterates
+    np.testing.assert_allclose(np.asarray(sb_log.p), np.asarray(sa.p), atol=3e-4)

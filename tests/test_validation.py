@@ -140,3 +140,24 @@ def test_cavity_re100_matches_ghia_128():
     assert errs["u_rms"] < 0.005, errs
     assert errs["v_rms"] < 0.008, errs
     assert errs["u_max"] < 0.012, errs
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("CFD_TPU_FULL_TRACE") != "1",
+                    reason="set CFD_TPU_FULL_TRACE=1 (thorough tier)")
+def test_cavity_re1000_matches_ghia_128():
+    """Thorough-tier Re=1000 (the reference's headline config) at 128^2 to
+    t=25. Measured: u_rms 0.0116, v_rms 0.0101, u_max 0.0227 — consistent
+    with 2nd-order discretization of the Re=1000 boundary layers at this
+    resolution (Ghia's own table is 129^2)."""
+    case = make_cavity_case(n_interior=128, reynolds_number=1000.0,
+                            final_time=25.0, poisson="multigrid",
+                            tolerance_factor=1e-8)
+    sim = Simulation(case, log=quiet)
+    state = sim.initial_state()
+    for _ in range(case.total_steps):
+        state, _ = sim._step(state)
+    errs = ghia_errors(state.u, state.v, case.grid, 1000)
+    assert errs["u_rms"] < 0.02, errs
+    assert errs["v_rms"] < 0.02, errs
+    assert errs["u_max"] < 0.04, errs
