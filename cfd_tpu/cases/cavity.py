@@ -37,6 +37,7 @@ def make_cavity_case(
     poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
     step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
+    mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
 ) -> Case:
     ensure_dtype_enabled(dtype)
     grid = Grid.regular(n_interior, n_interior, cavity_length, cavity_height)
@@ -60,7 +61,11 @@ def make_cavity_case(
         # odd-sized and stays on SOR.
         poisson = "multigrid" if mg_compatible(n_interior, n_interior) and n_interior >= 128 else "sor"
     if poisson == "multigrid":
+        import dataclasses as _dc
+
         mg = MGConfig(tol_factor=tolerance_factor, abs_tol=0.0)
+        if mg_overrides:
+            mg = _dc.replace(mg, **mg_overrides)
         solve = make_multigrid_poisson(
             cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
             mg,
@@ -91,6 +96,12 @@ def make_cavity_case(
         from cfd_tpu.kernels.projection import make_corrector, make_predictor_source
         from cfd_tpu.poisson.multigrid import _round_up8_128
 
+        # f32 perf path: V(2,1) measured 795 vs 745 steps/s for V(2,2) at
+        # 2048^2 with identical 1.0 cycles/step — the post-smooth kernel
+        # halves while the tolerance check (same criterion) still passes.
+        # f64 validation keeps the conservative V(2,2) default.
+        if not (mg_overrides and "post_sweeps" in mg_overrides):
+            mg = _dc.replace(mg, post_sweeps=1)
         step_kernels = (
             make_predictor_source(grid.shape, coeffs, lid_velocity,
                                   aligned_io=True, interpret=interp,

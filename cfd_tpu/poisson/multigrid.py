@@ -305,7 +305,14 @@ def _prolong(coarse: _Level, fine: _Level, e):
     (prolongation+restriction order must exceed the PDE order) and caps the
     V-cycle at ~0.86/cycle; bilinear restores mesh-independent rates.
     Boundary ghosts are edge-extrapolated (Neumann in the correction), which
-    post-smoothing localizes to O(h) boundary error per cycle."""
+    post-smoothing localizes to O(h) boundary error per cycle.
+
+    Implementation note: the stack+reshape interleave below costs ~105 us of
+    layout copies per call at 2048^2, but it is the best known lowering —
+    the transposed-conv formulation (``lhs_dilation=2``, separable
+    [1,3,3,1]/4 x [1,3,3,1]/4 kernel) is mathematically identical yet
+    lowers catastrophically on this TPU (measured 14 steps/s vs 745 for the
+    whole solver), and a plain reshape-to-(ny_c,2,nx_c,2) costs ~3 ms."""
     ny_c = coarse.ny if coarse.ny >= 0 else coarse.shape[0] - 2
     nx_c = coarse.nx if coarse.nx >= 0 else coarse.shape[1] - 2
     ny_f = fine.ny if fine.ny >= 0 else fine.shape[0] - 2
