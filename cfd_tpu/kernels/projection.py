@@ -7,9 +7,10 @@ SURVEY.md section 2.2 native-kernel families 1, 2, 4, 5 in two kernels:
   b = (rho/dt) div(u*) (cavity-01.cpp:622-630) in ONE VMEM pass: u and v
   stream from HBM once and us, vs, b stream out once, where the XLA path
   reads u,v for the predictor and re-reads us,vs for the source.
-* ``make_corrector`` — cavity ghost BCs (for the reference's untouched
-  invalid faces) + pressure-gradient projection (cavity-01.cpp:695-711):
-  reads us, vs, p, u, v once, writes u2, v2.
+* ``make_corrector`` — pressure-gradient projection (cavity-01.cpp:695-711)
+  + cavity ghost BCs rebuilt from the corrected interior: reads us, vs, p
+  (+ p_prev) once, writes u2, v2 (+ the next warm-start guess). The carried
+  u/v are NOT inputs — see the slim-ghost convention in its docstring.
 
 Same tiling/DMA structure as kernels.rb_smoother: 1D row tiles, overlapping
 slabs DMA'd from HBM refs with clamped offsets (multiples of 8), double-
@@ -19,7 +20,9 @@ iotas, so the BC'd fields are never materialized in HBM.
 
 Bitwise semantics match ops.stencil.predictor / poisson_source /
 pressure_correction with bc.lid_cavity_bc (asserted in tests/test_kernels.py
-in interpret mode).
+in interpret mode), except the correctors' slim-ghost convention (ghost
+entries rebuilt from the corrected interior instead of carrying the
+step-start BC values — trajectory-neutral, see make_corrector).
 """
 
 from __future__ import annotations
@@ -278,9 +281,20 @@ def make_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
 def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
                    tile_rows: int = 64, interpret: bool = False,
                    aligned_io: bool = False, emit_guess: bool = False):
-    """(us, vs, p, u, v[, p_prev]) -> (u2, v2[, guess]): the rho-multiplied
-    cavity projection (cavity-01.cpp:695-711) with the BC'd previous fields
-    on invalid faces (the reference leaves those entries untouched).
+    """(us, vs, p[, p_prev]) -> (u2, v2[, guess]): the rho-multiplied
+    cavity projection (cavity-01.cpp:695-711), then the cavity ghost BCs
+    applied to the CORRECTED interior.
+
+    Ghost convention (a deliberate, measured deviation from the reference's
+    byte layout): the reference leaves invalid faces holding the values the
+    step-start BC wrote from the PRE-correction interior; here ghosts are
+    rebuilt from the post-correction interior, so the carried ``u``/``v``
+    never have to be streamed through the kernel (2 fewer HBM input passes,
+    ~8% of the step's corrector traffic at 2048^2). The trajectory is
+    unchanged: the next step's fused predictor re-derives every ghost from
+    the interior anyway (``_cavity_bc_slab``), wall-normal faces stay 0 in
+    both conventions, and stats/VTK/checkpoint consumers read only interior
+    cells and wall faces (tests/test_kernels.py pins the equivalence).
 
     ``emit_guess``: also emit the NEXT step's extrapolated Poisson warm
     start guess = 2 p - p_prev in the same pass (the kernel already reads
@@ -293,21 +307,26 @@ def make_corrector(shape, coeffs, lid_velocity: float = 1.0,
 
     def compute(s, ins):
         if emit_guess:
-            us, vs, p, u, v, p_prev = ins
+            us, vs, p, p_prev = ins
         else:
-            us, vs, p, u, v = ins
-        slab, W = u.shape
-        uP, vP, grow, gcol = _cavity_bc_slab(u, v, s, ny, nx, lid, slab, W)
+            us, vs, p = ins
+        slab, W = us.shape
+        grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
         u_new = us - cu * (_roll(p, 0, 1) - p)
         v_new = vs - cv * (_roll(p, 1, 0) - p)
         u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
         v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
-        outs = [jnp.where(u_valid, u_new, uP), jnp.where(v_valid, v_new, vP)]
+        zero = jnp.zeros_like(us)
+        u2 = jnp.where(u_valid, u_new, zero)
+        v2 = jnp.where(v_valid, v_new, zero)
+        u2, v2, _, _ = _cavity_bc_slab(u2, v2, s, ny, nx, lid, slab, W)
+        outs = [u2, v2]
         if emit_guess:
             outs.append(2.0 * p - p_prev)
         return outs
 
-    n_in, n_out = (6, 3) if emit_guess else (5, 2)
+    n_in, n_out = (4, 3) if emit_guess else (3, 2)
     call, _ = _make_slab_kernel(shape, n_in=n_in, n_out=n_out, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
                                 aligned_io=aligned_io)
@@ -404,11 +423,17 @@ def make_channel_predictor_source(shape, coeffs, inlet_velocity: float = 1.0,
 def make_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
                            tile_rows: int = 64, interpret: bool = False,
                            aligned_io: bool = False, emit_guess: bool = True):
-    """(us, vs, p, u, v, p_prev) -> (u2, v2, guess): rho-DIVIDED projection
-    (channel-01.cpp:693-702) on valid faces (invalid faces keep the carried
-    state), then channel BCs on the corrected fields
-    (channel-01.cpp:385-386), plus the next step's extrapolated warm-start
-    guess."""
+    """(us, vs, p[, p_prev]) -> (u2, v2[, guess]): rho-DIVIDED projection
+    (channel-01.cpp:693-702) on valid faces, then channel BCs on the
+    corrected fields (channel-01.cpp:385-386), plus the next step's
+    extrapolated warm-start guess.
+
+    Invalid faces go to 0 before the BC pass instead of keeping the carried
+    state (same slim-ghost convention as ``make_corrector``): every entry
+    the reference actually carries is either rewritten by the channel BCs
+    from the corrected interior here, or is identically 0 for the whole run
+    (wall-normal faces, the never-written v top ghost row, corner cells) —
+    so the carried u/v never stream through the kernel."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     cu = coeffs.dt / (coeffs.density * coeffs.dx)
@@ -416,23 +441,27 @@ def make_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
     uin = inlet_velocity
 
     def compute(s, ins):
-        us, vs, p, u, v, p_prev = ins
-        slab, W = u.shape
+        if emit_guess:
+            us, vs, p, p_prev = ins
+        else:
+            us, vs, p = ins
+        slab, W = us.shape
         grow = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
         gcol = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
         u_new = us - cu * (_roll(p, 0, 1) - p)
         v_new = vs - cv * (_roll(p, 1, 0) - p)
         u_valid = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx - 1)
         v_valid = (grow >= 1) & (grow <= ny - 1) & (gcol >= 1) & (gcol <= nx)
-        u2 = jnp.where(u_valid, u_new, u)
-        v2 = jnp.where(v_valid, v_new, v)
+        zero = jnp.zeros_like(us)
+        u2 = jnp.where(u_valid, u_new, zero)
+        v2 = jnp.where(v_valid, v_new, zero)
         u2, v2, _, _ = _channel_bc_slab(u2, v2, s, ny, nx, uin, slab, W)
         outs = [u2, v2]
         if emit_guess:
             outs.append(2.0 * p - p_prev)
         return outs
 
-    n_in, n_out = (6, 3) if emit_guess else (6, 2)
+    n_in, n_out = (4, 3) if emit_guess else (3, 2)
     call, _ = _make_slab_kernel(shape, n_in=n_in, n_out=n_out, compute=compute,
                                 tile_rows=tile_rows, interpret=interpret,
                                 aligned_io=aligned_io)

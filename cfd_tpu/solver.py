@@ -137,7 +137,9 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
             # fused BC+predictor+source (+ the tolerance base max|b|)
             us, vs, b, max_b = pred_src(state.u, state.v)
             p, iters, res = case.poisson_solve(state.p_prev, b, max_b)
-            u2, v2, guess = corr(us, vs, p, state.u, state.v, state.p)
+            # slim corrector: ghosts rebuilt from the corrected interior, so
+            # the carried u/v never stream through the kernel
+            u2, v2, guess = corr(us, vs, p, state.p)
             return State(u2, v2, p, state.T, guess), \
                 StepDiagnostics(iters, res)
 
@@ -154,7 +156,7 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                 cell = (jj >= 1) & (jj <= ny_i) & (ii >= 1) & (ii <= nx_i)
                 b = jnp.where(cell, b - sum_b / n_fluid, b)
             p, iters, res = case.poisson_solve(state.p_prev, b)
-            u2, v2, guess = corr(us, vs, p, state.u, state.v, state.p)
+            u2, v2, guess = corr(us, vs, p, state.p)
             return State(u2, v2, p, state.T, guess), \
                 StepDiagnostics(iters, res)
 

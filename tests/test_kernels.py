@@ -153,12 +153,17 @@ def test_fused_corrector_matches_xla(tile_rows):
     cell, u_valid, v_valid = iota_masks(g)
     uP, vP = bc(u, v)
     us, vs = predictor(uP, vP, case.coeffs, u_valid, v_valid)
+    # slim-ghost convention: invalid faces -> 0, then the cavity BCs rebuild
+    # the ghosts from the CORRECTED interior (the carried u/v are not
+    # kernel inputs; see make_corrector's docstring)
+    zero = jnp.zeros_like(us)
     u2_ref, v2_ref = pressure_correction(us, vs, p, case.coeffs, u_valid,
-                                         v_valid, u_else=uP, v_else=vP,
+                                         v_valid, u_else=zero, v_else=zero,
                                          cavity_form=True)
+    u2_ref, v2_ref = bc(u2_ref, v2_ref)
     k = make_corrector(g.shape, case.coeffs, 1.0, tile_rows=tile_rows,
                        interpret=True)
-    u2, v2 = k(us, vs, p, u, v)
+    u2, v2 = k(us, vs, p)
     np.testing.assert_allclose(np.asarray(u2), np.asarray(u2_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(v2), np.asarray(v2_ref), atol=2e-6)
 
@@ -189,8 +194,14 @@ def test_aligned_fused_step_matches_xla_path():
         sb, db = sim_b._step(sb)
         assert int(db.poisson_iters) == int(da.poisson_iters), k
     sb_log = fused_case.unalign_state(sb)
-    np.testing.assert_allclose(np.asarray(sb_log.u), np.asarray(sa.u), atol=5e-6)
-    np.testing.assert_allclose(np.asarray(sb_log.v), np.asarray(sa.v), atol=5e-6)
+    # normalize the ghost convention before comparing: the fused corrector
+    # carries ghosts rebuilt from the corrected interior while the XLA path
+    # carries the step-start BC values; both agree after one BC application
+    # (what every consumer of the carried state effectively sees)
+    ua, va = ref_case.velocity_bc(sa.u, sa.v)
+    ub, vb = ref_case.velocity_bc(sb_log.u, sb_log.v)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ua), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=5e-6)
     np.testing.assert_allclose(np.asarray(sb_log.p), np.asarray(sa.p), atol=5e-5)
     # statistics/export boundary sees the logical layout transparently
     row_a = sim_a.statistics(sa)
@@ -219,8 +230,13 @@ def test_aligned_fused_channel_step_matches_xla_path():
         sb, db = sim_b._step(sb)
         assert int(db.poisson_iters) == int(da.poisson_iters), k
     sb_log = fused_case.unalign_state(sb)
-    np.testing.assert_allclose(np.asarray(sb_log.u), np.asarray(sa.u), atol=5e-6)
-    np.testing.assert_allclose(np.asarray(sb_log.v), np.asarray(sa.v), atol=5e-6)
+    # channel BCs rewrite every carried non-zero ghost from the corrected
+    # interior, so the two ghost conventions coincide after the BC pass the
+    # reference itself ends each step with (channel-01.cpp:385-386)
+    ua, va = ref_case.velocity_bc(sa.u, sa.v)
+    ub, vb = ref_case.velocity_bc(sb_log.u, sb_log.v)
+    np.testing.assert_allclose(np.asarray(ub), np.asarray(ua), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(va), atol=5e-6)
     # p converges to within the Poisson tolerance, not bitwise: the fused
     # path's mean removal sums per-tile (different fp order than jnp.sum),
     # so the two correct solvers stop at slightly different iterates
