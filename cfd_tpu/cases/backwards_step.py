@@ -42,6 +42,7 @@ def make_backwards_step_case(
     poisson_check_every: int = 1,
     poisson: str = "auto",  # "auto" | "sor" | "multigrid" (defect-correction masked MG)
     dtype=jnp.float64,
+    smoother_mode: str = "auto",  # "auto" | "off" | "interpret" (Pallas fine level)
 ) -> Case:
     ensure_dtype_enabled(dtype)
     dx = length / nx
@@ -78,7 +79,8 @@ def make_backwards_step_case(
         # hard part).
         mg = MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol)
         solve = make_masked_multigrid_poisson(
-            grid, coeffs, mg, step_pressure_ghosts(grid), dtype=dtype)
+            grid, coeffs, mg, step_pressure_ghosts(grid), dtype=dtype,
+            smoother_mode=smoother_mode)
         poisson_cap = mg.max_cycles
     elif poisson == "sor":
         solve = make_ghost_poisson(grid, coeffs, sor, step_pressure_ghosts(grid))

@@ -401,6 +401,7 @@ def make_multigrid_poisson(
     dtype=jnp.float32,
     n_interior: int | None = None,
     exact_level0: tuple[Callable, Callable] | None = None,
+    exact_level0_fused: tuple[Callable, Callable] | None = None,
     use_pallas: bool | str = "auto",
     aligned_io: bool = False,
     pallas_interpret: bool = False,
@@ -424,6 +425,12 @@ def make_multigrid_poisson(
     averaging), while the coarse hierarchy uses the weighted approximation
     (Neumann through solids). Fixed point = exact solution, since the update
     is residual-driven.
+
+    ``exact_level0_fused``: optional (pre_field(p, b) -> (p, r_field),
+    post_res(p, b) -> (p, res_inf)) Pallas fusions of the exact level-0
+    pre-smooth+restriction-input and post-smooth+tolerance-check (e.g.
+    kernels.step_smoother for the reference step geometry); they take the
+    place of the separable path's fused kernels under exact_level0.
 
     ``use_pallas``: fuse each pre/post smoothing block into one Pallas
     kernel per level (kernels.rb_smoother) — measured 2x the XLA path per
@@ -485,6 +492,8 @@ def make_multigrid_poisson(
         pallas_pre0_field = rb_pairs_for_level(
             levels[0], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
             interpret=pallas_interpret, aligned_io=aligned_io)
+    if exact_level0_fused is not None:
+        pallas_pre0_field, pallas_post0_res = exact_level0_fused
 
     def smooth_pair(level, p, b, n, level_idx=None):
         if level_idx is not None and level_idx in pallas_pairs:
@@ -592,15 +601,43 @@ def masked_channel_problem(grid, dx: float, dy: float) -> PoissonProblem:
     return PoissonProblem(nx, ny, dx, dy, wE, wW, wN, wS)
 
 
+def step_rect_params(grid) -> tuple[int, int] | None:
+    """If the grid's solid raster is exactly the reference's backward-step
+    rectangle ``solid = {i <= step_i and j > inlet_j_max}``
+    (backwards_step-01.cpp:499-520), return (step_i, inlet_j_max); else
+    None. Enables the iota-derived Pallas fine-level smoother."""
+    nx, ny = grid.nx, grid.ny
+    interior = grid.fluid[1 : ny + 1, 1 : nx + 1]
+    solid = ~interior
+    if not solid.any():
+        return None
+    jj, ii = np.nonzero(solid)
+    step_i = int(ii.max()) + 1  # back to 1-based padded indexing
+    inlet_j_max = int(jj.min())  # first solid row is inlet_j_max + 1
+    jj1 = np.arange(1, ny + 1)[:, None]
+    ii1 = np.arange(1, nx + 1)[None, :]
+    expected = (ii1 <= step_i) & (jj1 > inlet_j_max)
+    if (solid == expected).all():
+        return step_i, inlet_j_max
+    return None
+
+
 def make_masked_multigrid_poisson(grid, coeffs, cfg: MGConfig, ghosts,
-                                  dtype=jnp.float32):
+                                  dtype=jnp.float32,
+                                  smoother_mode: str = "auto"):
     """Defect-correction multigrid for masked geometry (the reference's
     backward-facing step): the finest level smooths with the exact
     reference operator — plain 5-point sweeps over fluid cells with the
     ghost functor (domain ghosts + solid-cell fluid-neighbor averaging,
     backwards_step-01.cpp:685-739) refreshed every pair — and measures the
     exact residual; coarser levels correct with the weighted approximation.
-    Converges to the same fixed point as the masked SOR solver."""
+    Converges to the same fixed point as the masked SOR solver.
+
+    ``smoother_mode`` ("auto" | "off" | "interpret"): for float32 runs on
+    TPU whose raster is the reference's step rectangle, "auto" replaces the
+    XLA fine-level smoothing with the fused Pallas exact smoother
+    (kernels.step_smoother) — bitwise-identical iterations, one HBM round
+    trip per smoothing block instead of hundreds of small fusions."""
     nx, ny = grid.nx, grid.ny
     idx2, idy2 = coeffs.idx2, coeffs.idy2
     denom = 2.0 * (idx2 + idy2)
@@ -633,6 +670,27 @@ def make_masked_multigrid_poisson(grid, coeffs, cfg: MGConfig, ghosts,
             _sh(p, 1, 0) - 2.0 * p + _sh(p, -1, 0)) * idy2
         return jnp.where(fluid, b - lap, jnp.zeros_like(b))
 
+    fused = None
+    if smoother_mode != "off" and np.dtype(dtype) == np.float32:
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interp = smoother_mode == "interpret"
+        rect = step_rect_params(grid)
+        if rect is not None and (interp or platform == "tpu"):
+            from cfd_tpu.kernels.step_smoother import make_step_masked_pairs
+
+            step_i, inlet_j_max = rect
+            kw = dict(shape=grid.shape, step_i=step_i,
+                      inlet_j_max=inlet_j_max, idx2=idx2, idy2=idy2,
+                      omega=omega, interpret=interp)
+            fused = (
+                make_step_masked_pairs(n_pairs=cfg.pre_sweeps,
+                                       with_residual_field=True, **kw),
+                make_step_masked_pairs(n_pairs=cfg.post_sweeps,
+                                       with_residual=True, **kw),
+            )
+
     prob = masked_channel_problem(grid, coeffs.dx, coeffs.dy)
     return make_multigrid_poisson(prob, cfg, dtype, n_interior=grid.n_fluid,
-                                  exact_level0=(smooth0, residual0))
+                                  exact_level0=(smooth0, residual0),
+                                  exact_level0_fused=fused)

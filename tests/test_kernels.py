@@ -241,3 +241,108 @@ def test_aligned_fused_channel_step_matches_xla_path():
     # path's mean removal sums per-tile (different fp order than jnp.sum),
     # so the two correct solvers stop at slightly different iterates
     np.testing.assert_allclose(np.asarray(sb_log.p), np.asarray(sa.p), atol=3e-4)
+
+
+@pytest.mark.parametrize("tile_rows", [16, 512])
+def test_step_masked_pairs_matches_exact_xla(tile_rows):
+    """The fused masked smoother (ghosts + red/black pairs + trailing
+    ghosts, kernels.step_smoother) is bitwise-equal to the XLA exact
+    fine-level path of make_masked_multigrid_poisson, and its fused
+    residual variants match residual0(smooth0(p), b)."""
+    from cfd_tpu.bc import step_pressure_ghosts
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+    from cfd_tpu.kernels.step_smoother import make_step_masked_pairs
+    from cfd_tpu.ops.stencil import _sh
+
+    case = make_backwards_step_case(nx=48, ny=24, poisson="sor",
+                                    dtype=jnp.float32)
+    g = case.grid
+    rect = M.step_rect_params(g)
+    assert rect is not None
+    step_i, inlet_j_max = rect
+    coeffs = case.coeffs
+    ghosts = step_pressure_ghosts(g)
+    fluid = jnp.asarray(g.cell_mask)
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+    denom = 2.0 * (idx2 + idy2)
+    jj = np.arange(g.ny + 2)[:, None]
+    ii = np.arange(g.nx + 2)[None, :]
+    cb = jnp.asarray((ii + jj) % 2 == 0)
+
+    def half(p, b, mask):
+        gs = (idx2 * (_sh(p, 0, 1) + _sh(p, 0, -1))
+              + idy2 * (_sh(p, 1, 0) + _sh(p, -1, 0)) - b) / denom
+        return jnp.where(mask, gs.astype(p.dtype), p)  # omega = 1
+
+    def smooth0(p, b, n):
+        for _ in range(n):
+            p = ghosts(p)
+            p = half(p, b, cb & fluid)
+            p = half(p, b, (~cb) & fluid)
+        return ghosts(p)
+
+    def residual0(p, b):
+        p = ghosts(p)
+        lap = (_sh(p, 0, 1) - 2.0 * p + _sh(p, 0, -1)) * idx2 + (
+            _sh(p, 1, 0) - 2.0 * p + _sh(p, -1, 0)) * idy2
+        return jnp.where(fluid, b - lap, jnp.zeros_like(b))
+
+    rng = np.random.default_rng(3)
+    inter = np.asarray(g.cell_mask)
+    p = jnp.asarray(np.where(inter, rng.standard_normal(g.shape), 0), jnp.float32)
+    b = jnp.asarray(np.where(inter, rng.standard_normal(g.shape), 0), jnp.float32)
+
+    kw = dict(shape=g.shape, step_i=step_i, inlet_j_max=inlet_j_max,
+              idx2=idx2, idy2=idy2, omega=1.0, tile_rows=tile_rows,
+              interpret=True)
+    # 1-ulp tolerances: pallas interpret jits the kernel body, where XLA may
+    # contract multiplies+adds differently than the eager reference (the
+    # same convention as the rb_smoother kernel tests)
+    for n_pairs in (1, 2):
+        ref_p = smooth0(p, b, n_pairs)
+        got_p = make_step_masked_pairs(n_pairs=n_pairs, **kw)(p, b)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                   atol=5e-7)
+
+        ref_r = np.asarray(residual0(ref_p, b))
+        got_p, got_r = make_step_masked_pairs(
+            n_pairs=n_pairs, with_residual_field=True, **kw)(p, b)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                   atol=5e-7)
+        np.testing.assert_allclose(np.asarray(got_r), ref_r,
+                                   atol=1e-4, rtol=2e-6)
+
+        got_p, got_res = make_step_masked_pairs(
+            n_pairs=n_pairs, with_residual=True, **kw)(p, b)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                   atol=5e-7)
+        want_res = float(np.abs(ref_r).max())
+        assert abs(float(got_res) - want_res) < 5e-6 + 1e-4 * want_res
+
+
+def test_masked_mg_fused_smoother_matches_xla_solver():
+    """make_masked_multigrid_poisson with the Pallas fine level (interpret)
+    reproduces the XLA exact path: same cycle counts, same iterate."""
+    from cfd_tpu.bc import step_pressure_ghosts
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+    from cfd_tpu.ops.stencil import poisson_source, predictor
+
+    case_off = make_backwards_step_case(nx=64, ny=32, poisson="multigrid",
+                                        dtype=jnp.float32,
+                                        smoother_mode="off",
+                                        tolerance_factor=1e-5)
+    case_on = make_backwards_step_case(nx=64, ny=32, poisson="multigrid",
+                                       dtype=jnp.float32,
+                                       smoother_mode="interpret",
+                                       tolerance_factor=1e-5)
+    g = case_on.grid
+    rng = np.random.default_rng(5)
+    inter = np.asarray(g.cell_mask)
+    b = jnp.asarray(np.where(inter, rng.standard_normal(g.shape), 0), jnp.float32)
+    b = b - jnp.where(jnp.asarray(inter), jnp.sum(b) / g.n_fluid, 0.0)
+    guess = jnp.zeros(g.shape, jnp.float32)
+    p_off, it_off, res_off = case_off.poisson_solve(guess, b)
+    p_on, it_on, res_on = case_on.poisson_solve(guess, b)
+    assert int(it_on) == int(it_off)
+    np.testing.assert_allclose(np.asarray(p_on), np.asarray(p_off), atol=2e-5)
+    assert abs(float(res_on) - float(res_off)) < 1e-4 * max(float(res_off), 1e-30)
