@@ -37,6 +37,7 @@ def make_cavity_case(
     poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
     step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
+    layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
     mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
 ) -> Case:
     ensure_dtype_enabled(dtype)
@@ -102,30 +103,78 @@ def make_cavity_case(
         # f64 validation keeps the conservative V(2,2) default.
         if not (mg_overrides and "post_sweeps" in mg_overrides):
             mg = _dc.replace(mg, post_sweeps=1)
-        step_kernels = (
-            make_predictor_source(grid.shape, coeffs, lid_velocity,
-                                  aligned_io=True, interpret=interp,
-                                  emit_max_b=True),
-            make_corrector(grid.shape, coeffs, lid_velocity, aligned_io=True,
-                           interpret=interp, emit_guess=True),
-        )
-        solve = make_multigrid_poisson(
-            cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
-            mg, dtype=dtype, aligned_io=True, use_pallas=True,
-            pallas_interpret=interp,
-        )
-        H, Wp = grid.shape
-        H8, W = _round_up8_128(grid.shape)
+        problem = cavity_problem(n_interior, n_interior, grid.dx, grid.dy)
 
         def _map(state, f):
             from cfd_tpu.state import State
             return State(*(None if a is None else f(a) for a in state))
 
-        def align_state(state):
-            return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+        # Quad (2x2 block-parity) layout: dense red-black planes + fused
+        # restriction/prolongation (kernels.quad) — the fastest path.
+        # Requires the aligned level-1 shape to coincide with the quad
+        # plane shape (true unless n/2+1 lands exactly on an 8/128
+        # alignment boundary, e.g. n = 14 mod 16).
+        from cfd_tpu.kernels.quad import from_quad, quad_dims, to_quad
+        coarse_shape = _round_up8_128((n_interior // 2 + 2, n_interior // 2 + 2))
+        _, _, Hq8, Wqa = quad_dims(grid.shape)
+        use_quad = (layout in ("auto", "quad")
+                    and coarse_shape == (Hq8, Wqa))
+        if layout == "quad" and not use_quad:
+            raise ValueError(
+                f"quad layout unavailable: coarse shape {coarse_shape} != "
+                f"quad plane shape {(Hq8, Wqa)}")
+        if use_quad:
+            from cfd_tpu.kernels.quad import (
+                make_quad_corrector,
+                make_quad_post_prolong_smooth,
+                make_quad_pre_smooth_restrict,
+                make_quad_predictor_source,
+            )
 
-        def unalign_state(state):
-            return _map(state, lambda a: a[:H, :Wp])
+            step_kernels = (
+                make_quad_predictor_source(grid.shape, coeffs, lid_velocity,
+                                           interpret=interp),
+                make_quad_corrector(grid.shape, coeffs, lid_velocity,
+                                    interpret=interp),
+            )
+            quad_l0 = (
+                make_quad_pre_smooth_restrict(
+                    grid.shape, problem, mg.omega, mg.pre_sweeps,
+                    coarse_shape, interpret=interp),
+                make_quad_post_prolong_smooth(
+                    grid.shape, problem, mg.omega, mg.post_sweeps,
+                    coarse_shape, interpret=interp),
+            )
+            solve = make_multigrid_poisson(
+                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                pallas_interpret=interp, quad_level0=quad_l0,
+            )
+
+            def align_state(state):
+                return _map(state, lambda a: to_quad(a, grid.shape))
+
+            def unalign_state(state):
+                return _map(state, lambda a: from_quad(a, grid.shape))
+        else:
+            step_kernels = (
+                make_predictor_source(grid.shape, coeffs, lid_velocity,
+                                      aligned_io=True, interpret=interp,
+                                      emit_max_b=True),
+                make_corrector(grid.shape, coeffs, lid_velocity, aligned_io=True,
+                               interpret=interp, emit_guess=True),
+            )
+            solve = make_multigrid_poisson(
+                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                pallas_interpret=interp,
+            )
+            H, Wp = grid.shape
+            H8, W = _round_up8_128(grid.shape)
+
+            def align_state(state):
+                return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+
+            def unalign_state(state):
+                return _map(state, lambda a: a[:H, :Wp])
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,

@@ -37,6 +37,7 @@ def make_channel_case(
     poisson: str = "auto",  # "auto" | "sor" | "multigrid"
     dtype=jnp.float64,
     step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
+    layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
 ) -> Case:
     ensure_dtype_enabled(dtype)
     grid = Grid.regular(nx, ny, length, height)
@@ -83,34 +84,80 @@ def make_channel_case(
     interp = step_kernel_mode == "interpret"
     if (_np.dtype(dtype) == _np.float32 and poisson == "multigrid"
             and (interp or (step_kernel_mode == "auto" and platform == "tpu"))):
-        from cfd_tpu.kernels.projection import (
-            make_channel_corrector, make_channel_predictor_source)
         from cfd_tpu.poisson.multigrid import _round_up8_128
 
-        step_kernels = (
-            make_channel_predictor_source(grid.shape, coeffs, inlet_velocity,
-                                          aligned_io=True, interpret=interp),
-            make_channel_corrector(grid.shape, coeffs, inlet_velocity,
-                                   aligned_io=True, interpret=interp,
-                                   emit_guess=True),
-        )
-        solve = make_multigrid_poisson(
-            channel_problem(nx, ny, grid.dx, grid.dy),
-            mg, dtype=dtype, aligned_io=True, use_pallas=True,
-            pallas_interpret=interp,
-        )
-        H, Wp = grid.shape
-        H8, W = _round_up8_128(grid.shape)
+        problem = channel_problem(nx, ny, grid.dx, grid.dy)
 
         def _map(state, f):
             from cfd_tpu.state import State
             return State(*(None if a is None else f(a) for a in state))
 
-        def align_state(state):
-            return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+        # Quad (2x2 block-parity) layout — same availability rule as the
+        # cavity factory (kernels.quad docstring).
+        from cfd_tpu.kernels.quad import from_quad, quad_dims, to_quad
+        coarse_shape = _round_up8_128((ny // 2 + 2, nx // 2 + 2))
+        _, _, Hq8, Wqa = quad_dims(grid.shape)
+        use_quad = (layout in ("auto", "quad")
+                    and coarse_shape == (Hq8, Wqa))
+        if layout == "quad" and not use_quad:
+            raise ValueError(
+                f"quad layout unavailable: coarse shape {coarse_shape} != "
+                f"quad plane shape {(Hq8, Wqa)}")
+        if use_quad:
+            from cfd_tpu.kernels.quad import (
+                make_quad_channel_corrector,
+                make_quad_channel_predictor_source,
+                make_quad_post_prolong_smooth,
+                make_quad_pre_smooth_restrict,
+            )
 
-        def unalign_state(state):
-            return _map(state, lambda a: a[:H, :Wp])
+            step_kernels = (
+                make_quad_channel_predictor_source(
+                    grid.shape, coeffs, inlet_velocity, interpret=interp),
+                make_quad_channel_corrector(
+                    grid.shape, coeffs, inlet_velocity, interpret=interp),
+            )
+            quad_l0 = (
+                make_quad_pre_smooth_restrict(
+                    grid.shape, problem, mg.omega, mg.pre_sweeps,
+                    coarse_shape, interpret=interp),
+                make_quad_post_prolong_smooth(
+                    grid.shape, problem, mg.omega, mg.post_sweeps,
+                    coarse_shape, interpret=interp),
+            )
+            solve = make_multigrid_poisson(
+                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                pallas_interpret=interp, quad_level0=quad_l0,
+            )
+
+            def align_state(state):
+                return _map(state, lambda a: to_quad(a, grid.shape))
+
+            def unalign_state(state):
+                return _map(state, lambda a: from_quad(a, grid.shape))
+        else:
+            from cfd_tpu.kernels.projection import (
+                make_channel_corrector, make_channel_predictor_source)
+
+            step_kernels = (
+                make_channel_predictor_source(grid.shape, coeffs, inlet_velocity,
+                                              aligned_io=True, interpret=interp),
+                make_channel_corrector(grid.shape, coeffs, inlet_velocity,
+                                       aligned_io=True, interpret=interp,
+                                       emit_guess=True),
+            )
+            solve = make_multigrid_poisson(
+                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                pallas_interpret=interp,
+            )
+            H, Wp = grid.shape
+            H8, W = _round_up8_128(grid.shape)
+
+            def align_state(state):
+                return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+
+            def unalign_state(state):
+                return _map(state, lambda a: a[:H, :Wp])
     return Case(
         name="channel",
         poisson_max_iters=poisson_cap,

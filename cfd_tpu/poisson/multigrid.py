@@ -405,6 +405,7 @@ def make_multigrid_poisson(
     use_pallas: bool | str = "auto",
     aligned_io: bool = False,
     pallas_interpret: bool = False,
+    quad_level0: tuple[Callable, Callable] | None = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns solve(p_warm, b) -> (p, cycles, residual_inf).
 
@@ -436,6 +437,14 @@ def make_multigrid_poisson(
     kernel per level (kernels.rb_smoother) — measured 2x the XLA path per
     pair at 2048^2. "auto" enables it for float32 separable problems on a
     TPU backend; it is bitwise-identical to the XLA path.
+
+    ``quad_level0``: optional (pre(p4, b4) -> (p4, rc),
+    post(p4, b4, ec) -> (p4, res_inf)) — the finest level lives in the
+    2x2 block-parity layout (kernels.quad) and solve() takes/returns p in
+    that (4, Hq8, Wqa) shape. pre fuses smooth+residual+restriction, post
+    fuses prolongation+smooth+tolerance residual; coarse levels run the
+    standard aligned Pallas path (their shapes coincide with the quad
+    plane shape for a factor-2 coarsening). Requires aligned_io.
     """
     levels, coarse_pinv = build_hierarchy(problem, cfg, dtype)
     n_int = n_interior or (problem.nx * problem.ny)
@@ -464,19 +473,23 @@ def make_multigrid_poisson(
         levels = [_build_level(p, dtype, aligned=True) for p in probs]
         bot = levels[-1]
         bot_ny, bot_nx = bot.ny, bot.nx
+    if quad_level0 is not None and not aligned_io:
+        raise ValueError("quad_level0 requires aligned_io coarse levels")
     pallas_pairs = {}
     pallas_post0_res = None
     if use_pallas:
         from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
 
         for k, lv in enumerate(levels):
+            if k == 0 and quad_level0 is not None:
+                continue  # finest level runs the fused quad kernels
             pallas_pairs[k] = {
                 n: rb_pairs_for_level(lv, cfg.omega, n,
                                       interpret=pallas_interpret,
                                       aligned_io=aligned_io)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
-        if exact_level0 is None and not cfg.pin_mean:
+        if exact_level0 is None and quad_level0 is None and not cfg.pin_mean:
             # fold the tolerance-check residual into the level-0 post-smooth
             # kernel (saves a full HBM pass + reduce per cycle; with
             # pin_mean the residual must be taken after the mean shift, so
@@ -486,7 +499,7 @@ def make_multigrid_poisson(
                 levels[0], cfg.omega, cfg.post_sweeps, with_residual=True,
                 interpret=pallas_interpret, aligned_io=aligned_io)
     pallas_pre0_field = None
-    if use_pallas and exact_level0 is None:
+    if use_pallas and exact_level0 is None and quad_level0 is None:
         # pre-smooth + signed residual FIELD in one kernel: the V-cycle's
         # restriction input without a separate whole-array XLA residual pass
         pallas_pre0_field = rb_pairs_for_level(
@@ -524,6 +537,11 @@ def make_multigrid_poisson(
         level = levels[k]
         if k == len(levels) - 1:
             return coarse_solve(b)
+        if k == 0 and quad_level0 is not None:
+            pre_quad, post_quad = quad_level0
+            p, rc = pre_quad(p, b)
+            ec = vcycle(1, jnp.zeros(levels[1].shape, dtype=rc.dtype), rc)
+            return post_quad(p, b, ec)  # (p, residual_inf) fused
         if k == 0:
             if pallas_pre0_field is not None:
                 p, r = pallas_pre0_field(p, b)
@@ -550,9 +568,14 @@ def make_multigrid_poisson(
             max_b = jnp.max(jnp.abs(b))
         tol = jnp.maximum(cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
                           jnp.asarray(cfg.abs_tol, dtype_))
-        top_interior, _, _ = _inline_masks(top)
-        p0 = jnp.where(top_interior, p_warm, jnp.zeros_like(p_warm)) \
-            if exact_level0 is None else p_warm
+        if quad_level0 is not None:
+            # quad planes are 0 outside the interior by construction (the
+            # corrector/converters mask), so the warm start needs no mask
+            p0 = p_warm
+        else:
+            top_interior, _, _ = _inline_masks(top)
+            p0 = jnp.where(top_interior, p_warm, jnp.zeros_like(p_warm)) \
+                if exact_level0 is None else p_warm
 
         def cond(carry):
             _, res, prev, it = carry
@@ -561,7 +584,7 @@ def make_multigrid_poisson(
         def body(carry):
             p, res, _, it = carry
             out = vcycle(0, p, b)
-            if pallas_post0_res is not None:
+            if pallas_post0_res is not None or quad_level0 is not None:
                 p, new_res = out
             else:
                 p = out

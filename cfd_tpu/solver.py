@@ -151,8 +151,15 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
             # fused predictor + BC(u*,v*) + raw source + interior sum
             us, vs, b, sum_b = pred_src(state.u, state.v)
             if case.remove_source_mean:
-                jj = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
-                ii = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+                if b.ndim == 3:  # quad-plane layout (kernels.quad)
+                    q = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                    jj = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) \
+                        + (q >> 1)
+                    ii = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) \
+                        + (q & 1)
+                else:
+                    jj = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                    ii = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
                 cell = (jj >= 1) & (jj <= ny_i) & (ii >= 1) & (ii <= nx_i)
                 b = jnp.where(cell, b - sum_b / n_fluid, b)
             p, iters, res = case.poisson_solve(state.p_prev, b)
