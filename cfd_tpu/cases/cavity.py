@@ -86,6 +86,7 @@ def make_cavity_case(
     # per-step pad/slice copies); the MG solve consumes it aligned too.
     step_kernels = None
     align_state = unalign_state = None
+    use_quad = False
     import numpy as _np
     import jax as _jax
 
@@ -125,17 +126,20 @@ def make_cavity_case(
                 f"quad plane shape {(Hq8, Wqa)}")
         if use_quad:
             from cfd_tpu.kernels.quad import (
+                make_quad_corr_predictor_source,
                 make_quad_corrector,
                 make_quad_post_prolong_smooth,
                 make_quad_pre_smooth_restrict,
-                make_quad_predictor_source,
+                uncorrect_quad,
             )
+            from cfd_tpu.state import State
 
+            corr = make_quad_corrector(grid.shape, coeffs, lid_velocity,
+                                       interpret=interp)
             step_kernels = (
-                make_quad_predictor_source(grid.shape, coeffs, lid_velocity,
-                                           interpret=interp),
-                make_quad_corrector(grid.shape, coeffs, lid_velocity,
-                                    interpret=interp),
+                make_quad_corr_predictor_source(grid.shape, coeffs,
+                                                lid_velocity, interpret=interp),
+                corr,
             )
             quad_l0 = (
                 make_quad_pre_smooth_restrict(
@@ -150,11 +154,22 @@ def make_cavity_case(
                 pallas_interpret=interp, quad_level0=quad_l0,
             )
 
+            # Tentative-state boundary converters: the carried u/v are the
+            # TENTATIVE (u*, v*) fields; the logical state applies the
+            # corrector (unalign) / its exact inverse (align, resume path —
+            # round trip is one f32 rounding, not bitwise).
             def align_state(state):
-                return _map(state, lambda a: to_quad(a, grid.shape))
+                us, vs = uncorrect_quad(state.u, state.v, state.p,
+                                        grid.shape, coeffs, cavity_form=True)
+                t = lambda a: to_quad(a, grid.shape)
+                p_prev = state.p if state.p_prev is None else state.p_prev
+                return State(t(us), t(vs), t(state.p), state.T, t(p_prev))
 
             def unalign_state(state):
-                return _map(state, lambda a: from_quad(a, grid.shape))
+                u2, v2, _ = corr(state.u, state.v, state.p, state.p)
+                f = lambda a: from_quad(a, grid.shape)
+                return State(f(u2), f(v2), f(state.p), state.T,
+                             None if state.p_prev is None else f(state.p_prev))
         else:
             step_kernels = (
                 make_predictor_source(grid.shape, coeffs, lid_velocity,
@@ -178,6 +193,7 @@ def make_cavity_case(
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
         name="cavity",

@@ -76,6 +76,7 @@ def make_channel_case(
     # emitted for the mean removal (kernels.projection channel family).
     step_kernels = None
     align_state = unalign_state = None
+    use_quad = False
     import numpy as _np
     import jax as _jax
 
@@ -105,17 +106,20 @@ def make_channel_case(
                 f"quad plane shape {(Hq8, Wqa)}")
         if use_quad:
             from cfd_tpu.kernels.quad import (
+                make_quad_channel_corr_predictor_source,
                 make_quad_channel_corrector,
-                make_quad_channel_predictor_source,
                 make_quad_post_prolong_smooth,
                 make_quad_pre_smooth_restrict,
+                uncorrect_quad,
             )
+            from cfd_tpu.state import State
 
+            corr = make_quad_channel_corrector(
+                grid.shape, coeffs, inlet_velocity, interpret=interp)
             step_kernels = (
-                make_quad_channel_predictor_source(
+                make_quad_channel_corr_predictor_source(
                     grid.shape, coeffs, inlet_velocity, interpret=interp),
-                make_quad_channel_corrector(
-                    grid.shape, coeffs, inlet_velocity, interpret=interp),
+                corr,
             )
             quad_l0 = (
                 make_quad_pre_smooth_restrict(
@@ -130,11 +134,19 @@ def make_channel_case(
                 pallas_interpret=interp, quad_level0=quad_l0,
             )
 
+            # Tentative-state boundary converters (see the cavity factory)
             def align_state(state):
-                return _map(state, lambda a: to_quad(a, grid.shape))
+                us, vs = uncorrect_quad(state.u, state.v, state.p,
+                                        grid.shape, coeffs, cavity_form=False)
+                t = lambda a: to_quad(a, grid.shape)
+                p_prev = state.p if state.p_prev is None else state.p_prev
+                return State(t(us), t(vs), t(state.p), state.T, t(p_prev))
 
             def unalign_state(state):
-                return _map(state, lambda a: from_quad(a, grid.shape))
+                u2, v2, _ = corr(state.u, state.v, state.p, state.p)
+                f = lambda a: from_quad(a, grid.shape)
+                return State(f(u2), f(v2), f(state.p), state.T,
+                             None if state.p_prev is None else f(state.p_prev))
         else:
             from cfd_tpu.kernels.projection import (
                 make_channel_corrector, make_channel_predictor_source)
@@ -162,6 +174,7 @@ def make_channel_case(
         name="channel",
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
         extrapolate_warm_start=(poisson == "multigrid"),

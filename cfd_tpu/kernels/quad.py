@@ -150,7 +150,11 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     # that placement. Measured at 2048^2: 13 MB -> 1019 steps/s (tiny
     # tiles, 1.67x slab redundancy), 24 MB -> 1055, 40 MB -> 1064 (the
     # sweet spot), 64 MB -> 1037, 110 MB -> 868 (placements evicted).
-    vmem_limit = int(42e6)
+    # The limit carries slack over the sizing budget: Mosaic's real stack
+    # need is not exactly linear in slab cells, and a 1-2 MB overshoot
+    # otherwise fails the compile (measured 41.2M at a 40.05M limit for the
+    # channel fused kernel).
+    vmem_limit = int(50e6)
     slab_cap = int(40.0e6 // (vmem_bytes_per_cell * W))
     t_cap = max(8, ((slab_cap - 2 * halo) // 8) * 8)
     T = min(_round_up(tile_rows, 8), t_cap, Hq8)
@@ -756,3 +760,156 @@ def make_quad_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
         shape, n_qin=4, n_qout=3, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, vmem_bytes_per_cell=260)
     return call
+
+
+def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
+                                    tile_rows: int = 128,
+                                    interpret: bool = False):
+    """Tentative-state cavity step stage: (us, vs, p, p_prev) ->
+    (us', vs', b', guess, max|b'|).
+
+    The carried state is the TENTATIVE velocity (u*, v*) plus the solved
+    pressure — the corrector (cavity-01.cpp:695-711) runs at the START of
+    the next step, entirely in VMEM, feeding the ghost BCs + MAC predictor
+    + Poisson source without the corrected u/v ever existing in HBM
+    (4 full-field passes/step saved vs the split corrector+predictor
+    kernels; stats/export recompute u/v at print cadence via
+    make_quad_corrector). ``guess`` = 2 p - p_prev is the next solve's
+    extrapolated warm start.
+
+    Stencil radius: corrector (1) + ghost BCs (1) + predictor (2) + source
+    (1) = 5 rows < halo 8."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    idx, idy = coeffs.idx, coeffs.idy
+    cu = coeffs.dt / coeffs.dx * coeffs.density
+    cv = coeffs.dt / coeffs.dy * coeffs.density
+    rho_dt = coeffs.density / coeffs.dt
+    lid = lid_velocity
+
+    def compute(s, qins, fin, consts):
+        us, vs, p, p_prev = qins
+        slab, W = us[0].shape
+        grow, gcol = _qiota(s, slab, W)
+        pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
+        u, v, guess = [], [], []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            u_valid = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx - 1)
+            v_valid = (g >= 1) & (g <= ny - 1) & (c >= 1) & (c <= nx)
+            zero = jnp.zeros_like(us[q])
+            u.append(jnp.where(u_valid, us[q] - cu * (pE[q] - p[q]), zero))
+            v.append(jnp.where(v_valid, vs[q] - cv * (pN[q] - p[q]), zero))
+            guess.append(2.0 * p[q] - p_prev[q])
+        u, v = _cavity_bc_quad(u, v, grow, gcol, ny, nx, lid)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us2, vs2 = [], []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            u_valid = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx - 1)
+            v_valid = (g >= 1) & (g <= ny - 1) & (c >= 1) & (c <= nx)
+            zero = jnp.zeros_like(u[q])
+            us2.append(jnp.where(u_valid, us_raw[q], zero))
+            vs2.append(jnp.where(v_valid, vs_raw[q], zero))
+        usW = _qshift(us2, 0, -1)
+        vsS = _qshift(vs2, -1, 0)
+        b = []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            cell = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
+            div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
+            b.append(jnp.where(cell, rho_dt * div, jnp.zeros_like(div)))
+        return [us2, vs2, b, guess], None, [jnp.abs(a) for a in b]
+
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8, scalar_reduce="max",
+        vmem_bytes_per_cell=390)
+    return call
+
+
+def make_quad_channel_corr_predictor_source(shape, coeffs,
+                                            inlet_velocity: float = 1.0,
+                                            tile_rows: int = 128,
+                                            interpret: bool = False):
+    """Tentative-state channel step stage: (us, vs, p, p_prev) ->
+    (us', vs', b', guess, sum_b').
+
+    Channel ordering (channel-01.cpp:365-386) with the corrector shifted to
+    the start of the next step: rho-DIVIDED projection on valid faces,
+    channel BCs on the corrected fields, predictor, channel BCs on the
+    tentative fields, raw source + interior sum (mean removed by the
+    caller)."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    idx, idy = coeffs.idx, coeffs.idy
+    cu = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    rho_dt = coeffs.density / coeffs.dt
+    uin = inlet_velocity
+
+    def compute(s, qins, fin, consts):
+        us, vs, p, p_prev = qins
+        slab, W = us[0].shape
+        grow, gcol = _qiota(s, slab, W)
+        pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
+        u, v, guess = [], [], []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            u_valid = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx - 1)
+            v_valid = (g >= 1) & (g <= ny - 1) & (c >= 1) & (c <= nx)
+            zero = jnp.zeros_like(us[q])
+            u.append(jnp.where(u_valid, us[q] - cu * (pE[q] - p[q]), zero))
+            v.append(jnp.where(v_valid, vs[q] - cv * (pN[q] - p[q]), zero))
+            guess.append(2.0 * p[q] - p_prev[q])
+        u, v = _channel_bc_quad(u, v, grow, gcol, ny, nx, uin)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us2, vs2 = [], []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            u_valid = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx - 1)
+            v_valid = (g >= 1) & (g <= ny - 1) & (c >= 1) & (c <= nx)
+            zero = jnp.zeros_like(u[q])
+            us2.append(jnp.where(u_valid, us_raw[q], zero))
+            vs2.append(jnp.where(v_valid, vs_raw[q], zero))
+        us2, vs2 = _channel_bc_quad(us2, vs2, grow, gcol, ny, nx, uin)
+        usW = _qshift(us2, 0, -1)
+        vsS = _qshift(vs2, -1, 0)
+        b = []
+        for q in range(4):
+            g, c = grow[q], gcol[q]
+            cell = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
+            div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
+            b.append(jnp.where(cell, rho_dt * div, jnp.zeros_like(div)))
+        return [us2, vs2, b, guess], None, list(b)
+
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8, scalar_reduce="sum",
+        vmem_bytes_per_cell=500)
+    return call
+
+
+def uncorrect_quad(u, v, p, shape, coeffs, cavity_form: bool):
+    """Inverse of the pressure correction on NATURAL-layout arrays (XLA,
+    checkpoint-resume boundary only): us = u + c*(pE - p) on valid faces, 0
+    elsewhere — so that correct(uncorrect(u, v, p), p) == (u, v) up to one
+    f32 rounding. Used by the tentative-state carry's align_state."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    if cavity_form:
+        cu = coeffs.dt / coeffs.dx * coeffs.density
+        cv = coeffs.dt / coeffs.dy * coeffs.density
+    else:
+        cu = coeffs.dt / (coeffs.density * coeffs.dx)
+        cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 1)
+    u_valid = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)
+    v_valid = (jj >= 1) & (jj <= ny - 1) & (ii >= 1) & (ii <= nx)
+    pE = jnp.roll(p, -1, axis=1)
+    pN = jnp.roll(p, -1, axis=0)
+    zero = jnp.zeros_like(u)
+    us = jnp.where(u_valid, u + cu * (pE - p), zero)
+    vs = jnp.where(v_valid, v + cv * (pN - p), zero)
+    return us, vs

@@ -82,6 +82,12 @@ class Case:
     # the cavity ordering on rectangle f32 TPU runs (kernels.projection);
     # built by the case factory, which knows the BC parameters they bake in.
     step_kernels: Optional[tuple] = None
+    # Tentative-state carry (kernels.quad corr_predictor_source family):
+    # the State's u/v slots hold the TENTATIVE (u*, v*) fields and
+    # step_kernels[0] is one fused corrector+BC+predictor+source kernel run
+    # at the START of each step — the corrected u/v never exist in HBM on
+    # the hot path (unalign_state recomputes them for stats/export).
+    carry_tentative: bool = False
     # With step_kernels the state is carried in the Mosaic-ALIGNED layout
     # (rows rounded to 8, cols to 128, zeros beyond the logical grid) across
     # the whole scan — align_state/unalign_state convert at the boundaries
@@ -125,7 +131,39 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
 
     extrap = case.extrapolate_warm_start
 
-    if case.ordering == "cavity" and case.step_kernels is not None:
+    def remove_mean_quad(b, sum_b):
+        """Mean removal over the quad-plane layout (cell mask from the
+        per-plane global iotas)."""
+        q = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+        jj = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) + (q >> 1)
+        ii = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) + (q & 1)
+        cell = (jj >= 1) & (jj <= grid.ny) & (ii >= 1) & (ii <= grid.nx)
+        return jnp.where(cell, b - sum_b / n_fluid, b)
+
+    if case.carry_tentative and case.step_kernels is not None:
+        fused = case.step_kernels[0]
+
+        if case.ordering == "cavity":
+
+            def step(state: State) -> tuple[State, StepDiagnostics]:
+                us2, vs2, b, guess, max_b = fused(
+                    state.u, state.v, state.p, state.p_prev)
+                p, iters, res = case.poisson_solve(guess, b, max_b)
+                return State(us2, vs2, p, state.T, state.p), \
+                    StepDiagnostics(iters, res)
+
+        else:  # channel ordering
+
+            def step(state: State) -> tuple[State, StepDiagnostics]:
+                us2, vs2, b, guess, sum_b = fused(
+                    state.u, state.v, state.p, state.p_prev)
+                if case.remove_source_mean:
+                    b = remove_mean_quad(b, sum_b)
+                p, iters, res = case.poisson_solve(guess, b)
+                return State(us2, vs2, p, state.T, state.p), \
+                    StepDiagnostics(iters, res)
+
+    elif case.ordering == "cavity" and case.step_kernels is not None:
         pred_src, corr = case.step_kernels
 
         # The state's p_prev slot carries the NEXT step's extrapolated warm

@@ -295,3 +295,108 @@ def test_quad_channel_full_step_matches_xla_path():
     # p agrees to within the Poisson tolerance (same caveat as the aligned
     # channel test)
     np.testing.assert_allclose(np.asarray(sb_log.p), np.asarray(sa.p), atol=3e-4)
+
+
+def test_quad_fused_corr_predictor_matches_split_kernels():
+    """The tentative-state fused corrector+BC+predictor+source kernel ==
+    the split quad corrector then quad predictor composition."""
+    from cfd_tpu.kernels.quad import (
+        make_quad_corr_predictor_source,
+        make_quad_corrector,
+        make_quad_predictor_source,
+    )
+
+    case, g, u, v, p = _cavity_setup(seed=9)
+    us = to_quad(u, g.shape)
+    vs = to_quad(v, g.shape)
+    pq = to_quad(p, g.shape)
+    p_prev = to_quad(0.5 * p, g.shape)
+
+    corr = make_quad_corrector(g.shape, case.coeffs, 1.0, interpret=True)
+    pred = make_quad_predictor_source(g.shape, case.coeffs, 1.0, interpret=True)
+    u2, v2, guess_ref = corr(us, vs, pq, p_prev)
+    us_ref, vs_ref, b_ref, maxb_ref = pred(u2, v2)
+
+    fused = make_quad_corr_predictor_source(g.shape, case.coeffs, 1.0,
+                                            tile_rows=8, interpret=True)
+    us2, vs2, b, guess, max_b = fused(us, vs, pq, p_prev)
+    np.testing.assert_allclose(np.asarray(us2), np.asarray(us_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(guess), np.asarray(guess_ref),
+                               atol=2e-6)
+    assert abs(float(max_b) - float(maxb_ref)) < 2e-3 * max(float(maxb_ref), 1.0)
+
+
+@pytest.mark.parametrize("case_kind", ["cavity", "channel"])
+def test_quad_tentative_resume_roundtrip(case_kind):
+    """Checkpoint-resume on the tentative carry: unalign (corrector) then
+    align (exact inverse correction) reproduces the trajectory to f32
+    roundoff — the resume contract for the quad perf path."""
+    from cfd_tpu.solver import Simulation
+
+    if case_kind == "cavity":
+        from cfd_tpu.cases.cavity import make_cavity_case
+        case = make_cavity_case(n_interior=32, dtype=jnp.float32,
+                                poisson="multigrid", tolerance_factor=1e-5,
+                                step_kernel_mode="interpret", layout="quad")
+    else:
+        from cfd_tpu.cases.channel import make_channel_case
+        case = make_channel_case(nx=32, ny=16, dtype=jnp.float32,
+                                 poisson="multigrid", tolerance_factor=1e-5,
+                                 abs_tol=0.0, step_kernel_mode="interpret",
+                                 layout="quad")
+    sim = Simulation(case, log=lambda *a: None)
+    s = sim.initial_state()
+    for _ in range(3):
+        s, _ = sim._step(s)
+    logical = case.unalign_state(s)
+    s_resumed = case.align_state(logical)
+    for _ in range(2):
+        s, _ = sim._step(s)
+        s_resumed, _ = sim._step(s_resumed)
+    a = case.unalign_state(s)
+    b = case.unalign_state(s_resumed)
+    np.testing.assert_allclose(np.asarray(b.u), np.asarray(a.u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.v), np.asarray(a.v), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b.p), np.asarray(a.p), atol=1e-4)
+
+
+def test_quad_channel_fused_corr_predictor_matches_split_kernels():
+    """The channel tentative-state fused kernel == split quad channel
+    corrector then quad channel predictor composition."""
+    from cfd_tpu.cases.channel import make_channel_case
+    from cfd_tpu.kernels.quad import (
+        make_quad_channel_corr_predictor_source,
+        make_quad_channel_corrector,
+        make_quad_channel_predictor_source,
+    )
+
+    case = make_channel_case(nx=32, ny=16, dtype=jnp.float32,
+                             poisson="multigrid", step_kernel_mode="off")
+    g = case.grid
+    rng = np.random.default_rng(12)
+    u = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    p = jnp.asarray(rng.standard_normal(g.shape) * 0.1, jnp.float32)
+    us = to_quad(u, g.shape)
+    vs = to_quad(v, g.shape)
+    pq = to_quad(p, g.shape)
+    p_prev = to_quad(0.5 * p, g.shape)
+
+    corr = make_quad_channel_corrector(g.shape, case.coeffs, 1.0,
+                                       interpret=True)
+    pred = make_quad_channel_predictor_source(g.shape, case.coeffs, 1.0,
+                                              interpret=True)
+    u2, v2, guess_ref = corr(us, vs, pq, p_prev)
+    us_ref, vs_ref, b_ref, sumb_ref = pred(u2, v2)
+
+    fused = make_quad_channel_corr_predictor_source(
+        g.shape, case.coeffs, 1.0, tile_rows=8, interpret=True)
+    us2, vs2, b, guess, sum_b = fused(us, vs, pq, p_prev)
+    np.testing.assert_allclose(np.asarray(us2), np.asarray(us_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(vs2), np.asarray(vs_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(guess), np.asarray(guess_ref),
+                               atol=2e-6)
+    assert abs(float(sum_b) - float(sumb_ref)) < 2e-3 * max(abs(float(sumb_ref)), 1.0)
