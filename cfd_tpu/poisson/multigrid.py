@@ -505,6 +505,15 @@ def make_multigrid_poisson(
         pallas_pre0_field = rb_pairs_for_level(
             levels[0], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
             interpret=pallas_interpret, aligned_io=aligned_io)
+    # same fusion for every COARSE level's pre-smooth (k >= 1): one kernel
+    # per level replaces smooth_pair + the whole-array XLA residual pass
+    pallas_pre_field = {}
+    if use_pallas:
+        for k in range(1, len(levels) - 1):
+            pallas_pre_field[k] = rb_pairs_for_level(
+                levels[k], cfg.omega, cfg.pre_sweeps,
+                with_residual_field=True, interpret=pallas_interpret,
+                aligned_io=aligned_io)
     if exact_level0_fused is not None:
         pallas_pre0_field, pallas_post0_res = exact_level0_fused
 
@@ -548,6 +557,8 @@ def make_multigrid_poisson(
             else:
                 p = smooth0(p, b, cfg.pre_sweeps)
                 r = residual0(p, b)
+        elif k in pallas_pre_field:
+            p, r = pallas_pre_field[k](p, b)
         else:
             p = smooth_pair(level, p, b, cfg.pre_sweeps, level_idx=k)
             r = _residual(level, p, b)
