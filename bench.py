@@ -1,26 +1,40 @@
-"""Benchmark: cavity projection steps at scale on one TPU chip.
+"""Benchmark: projection steps at scale on one TPU chip.
 
-Prints ONE JSON line:
+Prints one JSON line per secondary case (channel, backwards step,
+Rayleigh-Benard) followed by the headline line LAST (the driver contract —
+the final line is the recorded result):
   {"metric": ..., "value": N, "unit": "cell-updates/sec", "vs_baseline": N}
 
-Metric definition (BASELINE.json: "cell-updates/sec/chip at 2048^2 cavity"):
-one cell-update = one stencil update of one cell. Per projection step the
-solver performs
+Headline metric definition (BASELINE.json: "cell-updates/sec/chip at 2048^2
+cavity"): one cell-update = one stencil update of one cell. Per projection
+step the solver performs
   predictor (u*, v*)            2 updates/cell
   divergence source             1
   corrector (u, v)              2
-  Poisson V(2,2) cycles         (2 pre + 2 post + 1 residual) updates/cell
+  Poisson V(2,1) cycles         (2 pre + 1 post smoothing pairs + 1
+                                 residual) = 4 updates/cell per level visit
                                  x 4/3 (geometric level sum) per cycle
 so updates/step/cell = 5 + (16/3) * cycles, with the cycle count read back
-from the solver's diagnostics. Wall time is measured over timed steps after
-a compile+warmup phase, with block_until_ready fencing.
+from the solver's diagnostics. (The f32 kernel path runs V(2,1) —
+cases/cavity.py post_sweeps=1 — and fuses the residual into the smoother
+kernels, so 16/3 is if anything conservative.) Wall time is measured over
+timed steps after a compile+warmup phase, with block_until_ready fencing.
+
+Secondary-case lines use the scheme-agnostic cell-steps/sec metric
+(fluid cells x steps / wall) like benchmarks/case_bench.py; their
+vs_baseline is steps/s relative to the round-2 recorded numbers
+(BASELINE.md): channel 988, step 749, RB 817.
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 300),
 BENCH_DTYPE (f32|bf16, default f32; bf16 is a validated ~5%-KE-band
 throughput mode, tests/test_bf16.py — not a validation mode),
 BENCH_TOL (default 1e-6 relative),
-BENCH_CHUNK (steps per dispatch via lax.scan, default 100 = the reference print cadence — amortizes the
-host->device dispatch latency the way a production driver would).
+BENCH_CHUNK (steps per dispatch via lax.scan, default 100 = the reference
+print cadence — amortizes the host->device dispatch latency the way a
+production driver would),
+BENCH_CASES (comma list or "none"; default "channel,step,rb" at
+BENCH_N=2048, "none" otherwise — the secondary lines only make sense at the
+recorded scales).
 """
 
 from __future__ import annotations
@@ -30,8 +44,86 @@ import os
 import time
 
 
-def main() -> None:
+def _timed_steps(step_fn, state, steps: int, chunk: int):
+    """(state, mean_cycles, wall_s, compile_s, timed_steps) for a case."""
     import jax
+
+    @jax.jit
+    def multi(state):
+        def body(s, _):
+            s2, d = step_fn(s)
+            return s2, d.poisson_iters
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    t0 = time.perf_counter()
+    state, iters = multi(state)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    compile_s = time.perf_counter() - t0
+
+    n_chunks = max(1, steps // chunk)
+    steps = n_chunks * chunk
+    cycles = []
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, iters = multi(state)
+        cycles.append(iters)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
+    wall = time.perf_counter() - t0
+    mean_cycles = float(sum(int(c.sum()) for c in cycles)) / steps
+    return state, mean_cycles, wall, compile_s, steps
+
+
+def _secondary_cases(names: list[str]) -> None:
+    """One JSON line per non-flagship case (VERDICT round-2 item 8)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.solver import Simulation, make_step
+
+    steps = int(os.environ.get("BENCH_CASE_STEPS", 40))
+    chunk = int(os.environ.get("BENCH_CASE_CHUNK", 10))
+    baseline_steps = {"channel": 988.0, "step": 749.0, "rb": 817.0}
+
+    for name in names:
+        # configs identical to benchmarks/case_bench.py (the source of the
+        # BASELINE.md round-2 numbers the vs_baseline ratios refer to)
+        if name == "channel":
+            from cfd_tpu.cases import make_channel_case
+
+            case = make_channel_case(nx=1536, ny=512, poisson="multigrid",
+                                     tolerance_factor=1e-6, abs_tol=0.0,
+                                     dtype=jnp.float32)
+        elif name == "step":
+            from cfd_tpu.cases import make_backwards_step_case
+
+            case = make_backwards_step_case(nx=2048, ny=256,
+                                            poisson="multigrid",
+                                            tolerance_factor=1e-6,
+                                            abs_tol=0.0, dtype=jnp.float32)
+        elif name == "rb":
+            from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+            case = make_rayleigh_benard_case(nx=1536, ny=512, rayleigh=1e6,
+                                             dtype=jnp.float32)
+        else:
+            continue
+        state = Simulation(case, log=lambda *a: None).initial_state()
+        _, cyc, wall, compile_s, n = _timed_steps(make_step(case), state,
+                                                  steps, chunk)
+        sps = n / wall
+        cells = case.grid.n_fluid
+        print(json.dumps({
+            "metric": f"cell-steps/sec/chip, {name} "
+                      f"{case.grid.nx}x{case.grid.ny} f32 "
+                      f"({cyc:.1f} cycles/step, {sps:.1f} steps/s, "
+                      f"compile {compile_s:.0f}s)",
+            "value": round(cells * sps, 0),
+            "unit": "cell-steps/sec",
+            "vs_baseline": round(sps / baseline_steps[name], 3),
+        }), flush=True)
+
+
+def main() -> None:
     import jax.numpy as jnp
 
     from cfd_tpu.cases import make_cavity_case
@@ -42,39 +134,18 @@ def main() -> None:
     tol = float(os.environ.get("BENCH_TOL", 1e-6))
     dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[
         os.environ.get("BENCH_DTYPE", "f32")]
-
     chunk = int(os.environ.get("BENCH_CHUNK", 100))
+    cases_env = os.environ.get(
+        "BENCH_CASES", "channel,step,rb" if n == 2048 else "none")
+    if cases_env not in ("", "none"):
+        _secondary_cases([c.strip() for c in cases_env.split(",")])
+
     case = make_cavity_case(n_interior=n, poisson="multigrid", dtype=dtype,
                             tolerance_factor=tol)
-    step_fn = make_step(case)
-
-    @jax.jit
-    def multi(state):
-        def body(s, _):
-            s2, d = step_fn(s)
-            return s2, d.poisson_iters
-
-        return jax.lax.scan(body, state, None, length=chunk)
-
     state = Simulation(case, log=lambda *a: None).initial_state()
+    _, mean_cycles, wall, compile_s, steps = _timed_steps(
+        make_step(case), state, steps, chunk)
 
-    # compile + warmup (also spins the flow up so cycle counts are typical)
-    t0 = time.perf_counter()
-    state, iters = multi(state)
-    jax.block_until_ready(state.u)
-    compile_s = time.perf_counter() - t0
-
-    n_chunks = max(1, steps // chunk)
-    steps = n_chunks * chunk
-    cycles = []
-    t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state, iters = multi(state)
-        cycles.append(iters)
-    jax.block_until_ready(state.u)
-    wall = time.perf_counter() - t0
-
-    mean_cycles = float(sum(int(c.sum()) for c in cycles)) / steps
     updates_per_cell_step = 5.0 + (16.0 / 3.0) * mean_cycles
     cells = n * n
     value = cells * updates_per_cell_step * steps / wall
@@ -88,7 +159,7 @@ def main() -> None:
         "unit": "cell-updates/sec",
         "vs_baseline": round(value / 5e9, 3),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,23 @@ def make_backwards_step_case(
     smoother_mode: str = "auto",  # "auto" | "off" | "interpret" (Pallas fine level)
 ) -> Case:
     ensure_dtype_enabled(dtype)
+    from cfd_tpu.params import check_cfl, validate_case_params
+
+    validate_case_params(
+        reynolds_number=reynolds_number, density=density, cfl=cfl,
+        final_time=final_time, tolerance_factor=tolerance_factor, dt=dt,
+        max_iterations=max_sor_iterations, print_interval=print_interval,
+        save_interval=save_interval, length=length,
+        height_inlet=height_inlet, height_total=height_total,
+        step_location=step_location, inlet_velocity=inlet_velocity)
+    # geometry bounds (backwards_step-01.cpp:455-461)
+    if not (height_inlet < height_total):
+        raise ValueError(
+            f"height_inlet ({height_inlet}) must be < height_total "
+            f"({height_total})")
+    if not (step_location < length):
+        raise ValueError(
+            f"step_location ({step_location}) must be < length ({length})")
     dx = length / nx
     dy = height_total / ny
     step_i = int(step_location / dx)  # backwards_step-01.cpp:387
@@ -61,6 +78,8 @@ def make_backwards_step_case(
     viscosity = inlet_velocity * height_inlet / reynolds_number  # backwards_step-01.cpp:379
     if dt is None:
         dt = cfl_time_step(dx, dy, viscosity, inlet_velocity, cfl)
+    else:
+        check_cfl(dt, dx, dy, viscosity, abs(inlet_velocity))
     coeffs = StencilCoeffs(dx=dx, dy=dy, dt=dt, viscosity=viscosity, density=density)
     omega = optimal_omega(nx, ny)
     sor = SORConfig(
@@ -90,6 +109,11 @@ def make_backwards_step_case(
     return Case(
         name="backwards_step",
         poisson_max_iters=poisson_cap,
+        # Extrapolated warm start (2p - p_prev), as in the cavity/channel
+        # multigrid flavors: measured 4.0 -> ~1 V-cycles/step at 2048x256
+        # (VERDICT round-2 item 2a); the converged state is
+        # tolerance-enforced, so golden-trace parity is unaffected.
+        extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,
         ordering="channel",
@@ -105,4 +129,9 @@ def make_backwards_step_case(
         dtype=dtype,
         vtk_basename="backwards_step",
         vtk_title="Backwards Step Flow Data",
+        info=dict(banner_title="Backwards Step Flow Simulation",
+                  length=length, height=height_total,
+                  step_height=height_total - height_inlet,
+                  step_location=step_location, reynolds=reynolds_number,
+                  cfl=cfl, omega=omega),
     )

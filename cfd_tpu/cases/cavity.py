@@ -41,11 +41,22 @@ def make_cavity_case(
     mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
 ) -> Case:
     ensure_dtype_enabled(dtype)
+    # systematic constructor checks (cavity-01.cpp:417-425 made runtime)
+    from cfd_tpu.params import check_cfl, validate_case_params
+
+    validate_case_params(
+        reynolds_number=reynolds_number, density=density, cfl=cfl_number,
+        final_time=final_time, tolerance_factor=tolerance_factor, dt=dt,
+        max_iterations=max_sor_iterations, print_interval=print_interval,
+        save_interval=save_interval, cavity_length=cavity_length,
+        cavity_height=cavity_height)
     grid = Grid.regular(n_interior, n_interior, cavity_length, cavity_height)
     # nu = rho*U*L/Re (cavity-01.cpp:356)
     viscosity = density * lid_velocity * cavity_length / reynolds_number
     if dt is None:
         dt = cfl_time_step(grid.dx, grid.dy, viscosity, lid_velocity, cfl_number)
+    else:
+        check_cfl(dt, grid.dx, grid.dy, viscosity, abs(lid_velocity))
     coeffs = StencilCoeffs(dx=grid.dx, dy=grid.dy, dt=dt, viscosity=viscosity, density=density)
     omega = optimal_omega(n_interior)  # square form, cavity-01.cpp:74-78
     sor = SORConfig(
@@ -185,11 +196,33 @@ def make_cavity_case(
             H, Wp = grid.shape
             H8, W = _round_up8_128(grid.shape)
 
+            # The aligned carry's p_prev slot holds the corrector-emitted
+            # extrapolated guess (2p - p_prev); the LOGICAL state always
+            # stores the previous pressure (same convention as the quad and
+            # XLA paths), converted here via the involution x -> 2p - x so
+            # cross-layout checkpoint resume is well-defined (one f32
+            # rounding, not bitwise — same contract as the quad carry).
+            def _swap_guess(state):
+                if state.p_prev is None:
+                    return state
+                from cfd_tpu.state import State
+                return State(state.u, state.v, state.p, state.T,
+                             2.0 * state.p - state.p_prev)
+
             def align_state(state):
-                return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+                return _swap_guess(_map(
+                    state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp)))))
 
             def unalign_state(state):
-                return _map(state, lambda a: a[:H, :Wp])
+                return _swap_guess(_map(state, lambda a: a[:H, :Wp]))
+    if layout != "auto" and step_kernels is None:
+        # the guard inside the branch covers quad-shape mismatch; this one
+        # covers the branch never being taken (f64, non-TPU without
+        # interpret, or a non-multigrid Poisson flavor)
+        raise ValueError(
+            f"layout={layout!r} requires the f32 multigrid kernel path "
+            "(dtype=float32, poisson='multigrid', TPU platform or "
+            "step_kernel_mode='interpret')")
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
@@ -213,4 +246,8 @@ def make_cavity_case(
         dtype=dtype,
         vtk_basename="cavity_flow",
         vtk_title="Lid-Driven Cavity Flow Data",
+        info=dict(banner_title="Lid-Driven Cavity Flow Simulation",
+                  length=cavity_length, height=cavity_height,
+                  square_spacing=True, reynolds=reynolds_number,
+                  cfl=cfl_number, omega=omega, lid_velocity=lid_velocity),
     )

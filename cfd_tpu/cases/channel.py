@@ -40,11 +40,21 @@ def make_channel_case(
     layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
 ) -> Case:
     ensure_dtype_enabled(dtype)
+    from cfd_tpu.params import check_cfl, validate_case_params
+
+    validate_case_params(
+        reynolds_number=reynolds_number, density=density, cfl=cfl,
+        final_time=final_time, tolerance_factor=tolerance_factor, dt=dt,
+        max_iterations=max_sor_iterations, print_interval=print_interval,
+        save_interval=save_interval, length=length, height=height,
+        inlet_velocity=inlet_velocity)
     grid = Grid.regular(nx, ny, length, height)
     # nu = U*H/Re (channel-01.cpp:337)
     viscosity = inlet_velocity * height / reynolds_number
     if dt is None:
         dt = cfl_time_step(grid.dx, grid.dy, viscosity, inlet_velocity, cfl)
+    else:
+        check_cfl(dt, grid.dx, grid.dy, viscosity, abs(inlet_velocity))
     coeffs = StencilCoeffs(dx=grid.dx, dy=grid.dy, dt=dt, viscosity=viscosity, density=density)
     omega = optimal_omega(nx, ny)
     sor = SORConfig(
@@ -165,11 +175,29 @@ def make_channel_case(
             H, Wp = grid.shape
             H8, W = _round_up8_128(grid.shape)
 
+            # p_prev-slot normalization: see the cavity factory (the aligned
+            # carry holds the guess 2p - p_prev, the logical state the
+            # previous pressure; x -> 2p - x converts both ways).
+            def _swap_guess(state):
+                if state.p_prev is None:
+                    return state
+                from cfd_tpu.state import State
+                return State(state.u, state.v, state.p, state.T,
+                             2.0 * state.p - state.p_prev)
+
             def align_state(state):
-                return _map(state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp))))
+                return _swap_guess(_map(
+                    state, lambda a: jnp.pad(a, ((0, H8 - H), (0, W - Wp)))))
 
             def unalign_state(state):
-                return _map(state, lambda a: a[:H, :Wp])
+                return _swap_guess(_map(state, lambda a: a[:H, :Wp]))
+    if layout != "auto" and step_kernels is None:
+        # see the cavity factory: explicit layout requests must not be
+        # silently ignored when the f32 kernel branch is inactive
+        raise ValueError(
+            f"layout={layout!r} requires the f32 multigrid kernel path "
+            "(dtype=float32, poisson='multigrid', TPU platform or "
+            "step_kernel_mode='interpret')")
     return Case(
         name="channel",
         poisson_max_iters=poisson_cap,
@@ -193,4 +221,7 @@ def make_channel_case(
         dtype=dtype,
         vtk_basename="channel_flow",
         vtk_title="Channel Flow Data",
+        info=dict(banner_title="Channel Flow Simulation",
+                  length=length, height=height, reynolds=reynolds_number,
+                  cfl=cfl, omega=omega),
     )

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--checkpoint-dir", default=None,
                         help="periodic checkpoints + resume from latest")
         sp.add_argument("--checkpoint-interval", type=int, default=500)
+        color = sp.add_mutually_exclusive_group()
+        color.add_argument("--color", dest="color", action="store_true",
+                           default=None,
+                           help="force ANSI-colored banner/summary (the "
+                                "reference paints its stdout, "
+                                "cavity-01.cpp:35-41; default: only on a tty)")
+        color.add_argument("--no-color", dest="color", action="store_false")
         return sp
 
     common(sub.add_parser("cavity", help="lid-driven cavity (cavity-01.cpp)"),
@@ -152,12 +159,12 @@ def main(argv=None) -> int:
     if args.metrics_jsonl or args.metrics_csv:
         metrics = MetricsLog(jsonl_path=args.metrics_jsonl, csv_path=args.metrics_csv)
 
-    g = case.grid
-    print(f"=== cfd_tpu: {case.name} ===")
+    # reference printSimulationInfo banner (cavity-01.cpp:501-518) + the
+    # framework's own device line
+    from cfd_tpu.io import console
+
+    console.print_banner(case, color=args.color)
     print(f"devices: {jax.devices()}")
-    print(f"grid: {g.nx}x{g.ny} (dx={g.dx:.6f}, dy={g.dy:.6f}), "
-          f"fluid cells: {g.n_fluid}")
-    print(f"dt={case.dt:.6g}, steps={case.total_steps}, T={case.final_time}")
 
     sim = Simulation(case, exporter=exporter, metrics=metrics)
 
@@ -199,6 +206,8 @@ def main(argv=None) -> int:
         print(f"backward FTLE over {len(collector.times)} frames -> {out}")
     if metrics is not None:
         metrics.close()
+    if exporter is not None:
+        console.print_completion(case, args.out, color=args.color)
     return 0
 
 

@@ -77,6 +77,13 @@ class CheckpointManager:
                 T=jnp.asarray(z["T"], dtype=dtype) if "T" in z else None,
                 p_prev=jnp.asarray(z["p_prev"], dtype=dtype) if "p_prev" in z else None,
             )
+            if (state.p_prev is None and case is not None
+                    and getattr(case, "extrapolate_warm_start", False)):
+                # checkpoint written before the case enabled the
+                # extrapolated warm start: seed p_prev = p (the
+                # non-extrapolated warm start for the first resumed step;
+                # convergence stays tolerance-enforced)
+                state = State(state.u, state.v, state.p, state.T, state.p)
             if with_extras:
                 extras = {k[len("extra_"):]: float(z[k])
                           for k in z.files if k.startswith("extra_")}

@@ -155,6 +155,12 @@ def make_rayleigh_benard_case(
     """192x64 Ra=1e6 heated-bottom/cooled-top per the reference artifact
     (.MISSING_LARGE_BLOBS:1); final_time in thermal-diffusion units."""
     ensure_dtype_enabled(dtype)
+    from cfd_tpu.params import validate_case_params
+
+    validate_case_params(
+        cfl=cfl, final_time=final_time, tolerance_factor=tolerance_factor,
+        dt=dt, print_interval=print_interval, save_interval=save_interval,
+        rayleigh=rayleigh, prandtl=prandtl, aspect=aspect)
     grid = Grid.regular(nx, ny, aspect, 1.0)
     params = RBParams(rayleigh=rayleigh, prandtl=prandtl)
     # free-fall-unit transport coefficients
@@ -242,6 +248,9 @@ def make_rayleigh_benard_case(
         dtype=dtype,
         vtk_basename="rayleigh_benard",
         vtk_title="Rayleigh-Benard Convection Data",
+        info=dict(banner_title="Rayleigh-Benard Convection Simulation",
+                  length=aspect, height=1.0, rayleigh=rayleigh,
+                  prandtl=prandtl, cfl=cfl),
         custom_step=custom_step,
         extra_stats=extra_stats,
         initial_state_fn=initial_state_fn,

@@ -96,6 +96,10 @@ class Case:
     align_state: Optional[Callable] = None
     unalign_state: Optional[Callable] = None
     custom_step: Optional[Callable] = None
+    # Banner scalars for io.console.print_banner (the reference
+    # printSimulationInfo block, cavity-01.cpp:501-518): reynolds, cfl,
+    # omega, length/height, banner_title, ... — display-only.
+    info: Optional[dict] = None
     extra_stats: Optional[Callable] = None  # (State) -> dict[str, scalar]
     initial_state_fn: Optional[Callable] = None  # () -> State
     vtk_extra_fields: Optional[Callable] = None  # (State) -> dict[str, array]

@@ -97,7 +97,11 @@ def test_cli_smoke(tmp_path):
              "PYTHONPATH": str(Path(__file__).resolve().parent.parent)},
     )
     assert r.returncode == 0, r.stderr
-    assert "cfd_tpu: cavity" in r.stdout
+    # reference banner (cavity-01.cpp:501-518) + completion summary
+    # (cavity-01.cpp:404-410), uncolored off-tty
+    assert "=== Lid-Driven Cavity Flow Simulation ===" in r.stdout
+    assert "\033[" not in r.stdout  # subprocess pipe is not a tty
+    assert "Simulation completed successfully!" in r.stdout
     assert (out / "cavity_flow_000004.vtk").exists()
     assert (out / "cavity_flow_animation.pvd").exists()
     assert (tmp_path / "m.jsonl").exists()
