@@ -151,7 +151,7 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
         for cp in copies:
             cp.wait()
 
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_out
     out_shape = [jax.ShapeDtypeStruct((H8, W), jnp.float32)] * n_out
     if scalar_max:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -159,7 +159,7 @@ def _make_slab_kernel(shape, n_in: int, n_out: int, compute, tile_rows: int,
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=(

@@ -65,6 +65,17 @@ def quad_shape(shape: tuple[int, int]) -> tuple[int, int, int]:
     return (4, Hq8, Wqa)
 
 
+def quad_shard_dims(shape: tuple[int, int], mdy: int) -> tuple[int, int, int]:
+    """(Hq8s, P, Wqa) for an mdy-way plane-ROW decomposition of the quad
+    layout: global plane rows padded up so every device owns P = Hq8s/mdy
+    rows, P a multiple of 8 (Mosaic slab/halo alignment). Parity lives in
+    the plane index q, not the plane row, so row decomposition never flips
+    the red/black coloring across devices."""
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    Hq8s = _round_up(Hq, 8 * mdy)
+    return Hq8s, Hq8s // mdy, Wqa
+
+
 def to_quad(a: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     """(H, W) natural -> (4, Hq8, Wqa) quad. XLA, boundary-only (init/
     stats/export) — never on the hot path."""
@@ -123,15 +134,18 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                            flat_in_shape=None, flat_out_shape=None,
                            scalar_reduce: str | None = None,
                            const_inputs=(),
-                           vmem_bytes_per_cell: int = 110):
+                           vmem_bytes_per_cell: int = 110,
+                           shard: int | None = None):
     """Skeleton: stream ``n_qin`` quad fields (4, Hq8, Wqa) through
     overlapping plane-row slabs, run ``compute(s, qins, flat_in, consts) ->
     (qouts, flat_out, scalar_arrplanes)`` and write back own rows.
 
     ``flat_in_shape``/``flat_out_shape``: one optional natural-layout array
     whose rows coincide 1:1 with plane rows (the coarse grid of a factor-2
-    coarsening: coarse row Jc == plane row J). The flat input slab carries
-    8 extra trailing rows so compute may read row J+1 (prolongation).
+    coarsening: coarse row Jc == plane row J). The flat input slab covers
+    exactly the quad slab's rows; a consumer's row J+1 read (prolongation)
+    is a jnp.roll whose slab-top wraparound is absorbed by the band shrink
+    and the Jc == nyc edge clamp.
 
     ``const_inputs``: small jnp arrays (weight vectors) passed as whole
     VMEM inputs and handed to compute as refs — Mosaic rejects captured
@@ -140,9 +154,27 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     ``scalar_reduce`` ("max" | "sum"): compute's last return is a list of 4
     (slab, W) plane arrays reduced over each tile's own unique rows into
     one SMEM scalar.
+
+    ``shard``: per-device owned plane-row count P for the SPMD (shard_map)
+    variant. The arrays are then LOCAL blocks of height P + 16: the
+    device's P rows bracketed by DEV_HALO-row neighbor strips (refreshed by
+    the caller's ppermute exchange between kernel invocations). The call
+    gains a leading traced ``row_base`` scalar — the GLOBAL plane row of
+    local row 0 (= jy*P - DEV_HALO; an SMEM input, since mesh position is
+    data in SPMD) — and ``compute`` receives the global slab start, so all
+    iota-derived masks/bands keep their global meaning. DEV_HALO equals
+    the slab halo (8): the same shrink bookkeeping that absorbs slab-edge
+    staleness absorbs device-edge staleness. Scalar reductions restrict to
+    own (non-halo) rows and return per-device partials (caller pmax/psums).
     """
     scalar = scalar_reduce is not None
     Hq, Wq, Hq8, W = quad_dims(shape)
+    sharded = shard is not None
+    DEV_HALO = 8
+    if sharded:
+        if shard % 8:
+            raise ValueError(f"shard rows must be a multiple of 8, got {shard}")
+        Hq8 = shard + 2 * DEV_HALO  # all row bookkeeping below is local
     # VMEM discipline: this chip has 128 MB VMEM and XLA places while-loop
     # carries and whole intermediates IN VMEM (the S(1) buffers in
     # profiles) when kernels leave room — VMEM-resident "HBM" refs stream
@@ -164,7 +196,7 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     n_tiles = -(-Hq8 // T)
     has_fin = flat_in_shape is not None
     has_fout = flat_out_shape is not None
-    fin_slab = min(slab + 8, Hq8) if has_fin else 0
+    fin_slab = slab if has_fin else 0
     n_const = len(const_inputs)
     n_in = n_qin + (1 if has_fin else 0)
     n_out = n_qout + (1 if has_fout else 0)
@@ -173,7 +205,8 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
         qin_hbm = refs[:n_qin]
         fin_hbm = refs[n_qin] if has_fin else None
         consts = refs[n_in : n_in + n_const]
-        out0 = n_in + n_const
+        rb_ref = refs[n_in + n_const] if sharded else None
+        out0 = n_in + n_const + (1 if sharded else 0)
         qout_hbm = refs[out0 : out0 + n_qout]
         fout_hbm = refs[out0 + n_qout] if has_fout else None
         sref = refs[out0 + n_out] if scalar else None
@@ -202,10 +235,8 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                     qin_hbm[k].at[:, pl.ds(st, slab), :], qin_s[k].at[sl],
                     sems.at[sl, k]).start()
             if has_fin:
-                sf = pl.multiple_of(
-                    jnp.minimum(st, Hq8 - fin_slab).astype(jnp.int32), 8)
                 pltpu.make_async_copy(
-                    fin_hbm.at[pl.ds(sf, fin_slab), :], fin_s.at[sl],
+                    fin_hbm.at[pl.ds(st, fin_slab), :], fin_s.at[sl],
                     sems.at[sl, n_qin]).start()
 
         @pl.when(i == 0)
@@ -221,16 +252,15 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                                   qin_s[k].at[slot], sems.at[slot, k]).wait()
         fin = None
         if has_fin:
-            sf = pl.multiple_of(jnp.minimum(s, Hq8 - fin_slab).astype(jnp.int32), 8)
-            pltpu.make_async_copy(fin_hbm.at[pl.ds(sf, fin_slab), :],
+            pltpu.make_async_copy(fin_hbm.at[pl.ds(s, fin_slab), :],
                                   fin_s.at[slot], sems.at[slot, n_qin]).wait()
-            # re-base so fin rows line up with the slab's plane rows
-            off_f = pl.multiple_of((s - sf).astype(jnp.int32), 8)
-            fin = fin_s[slot, pl.ds(off_f, slab), :] if fin_slab > slab \
-                else fin_s[slot]
+            fin = fin_s[slot]
 
         qins = [[qin_s[k][slot, q] for q in range(4)] for k in range(n_qin)]
-        outs = compute(s, qins, fin, consts)
+        # compute sees the GLOBAL slab start so iota masks/bands stay global
+        s_glob = pl.multiple_of((s + rb_ref[0]).astype(jnp.int32), 8) \
+            if sharded else s
+        outs = compute(s_glob, qins, fin, consts)
         qouts, fout, sarr = outs
 
         if scalar:
@@ -238,6 +268,8 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
             prev_r0 = jnp.minimum((i - 1) * T, Hq8 - T).astype(jnp.int32)
             start = jnp.where(i > 0, prev_r0 + T, 0)
             own = (s + Jl >= jnp.maximum(r0, start)) & (s + Jl < r0 + T)
+            if sharded:  # halo rows belong to the neighbor device
+                own = own & (s + Jl >= DEV_HALO) & (s + Jl < DEV_HALO + shard)
             vals = [jnp.where(own, a, jnp.zeros_like(a)) for a in sarr]
             if scalar_reduce == "max":
                 tile_val = functools.reduce(jnp.maximum, [jnp.max(a) for a in vals])
@@ -275,9 +307,11 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
         for cp in copies:
             cp.wait()
 
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.ANY)] * n_in
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * n_in
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const)
-    out_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out
+    if sharded:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_out
     out_shape = [jax.ShapeDtypeStruct((4, Hq8, W), jnp.float32)] * n_qout
     if has_fout:
         out_shape.append(jax.ShapeDtypeStruct(flat_out_shape, jnp.float32))
@@ -303,11 +337,21 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                                              vmem_limit_bytes=vmem_limit),
     )
 
-    def call(*arrays):
-        outs = fn(*arrays, *const_inputs)
-        if scalar:
-            return tuple(outs[:-1]) + (outs[-1][0, 0],)
-        return tuple(outs)
+    if sharded:
+
+        def call(row_base, *arrays):
+            rb = jnp.reshape(row_base, (1,)).astype(jnp.int32)
+            outs = fn(*arrays, *const_inputs, rb)
+            if scalar:
+                return tuple(outs[:-1]) + (outs[-1][0, 0],)
+            return tuple(outs)
+    else:
+
+        def call(*arrays):
+            outs = fn(*arrays, *const_inputs)
+            if scalar:
+                return tuple(outs[:-1]) + (outs[-1][0, 0],)
+            return tuple(outs)
 
     return call, (Hq8, W, slab, T)
 
@@ -407,10 +451,15 @@ def make_quad_corrector(shape, coeffs, lid_velocity: float = 1.0,
     return call
 
 
-def _plane_weight_vectors(problem, shape):
+def _plane_weight_vectors(problem, shape, rows_len: int | None = None,
+                          row_prefix: int = 0):
     """Split a separable PoissonProblem's coupling vectors into per-parity
     plane vectors (host numpy — striding is free here): returns
-    (wE[2](1,Wqa), wW[2], wN[2](Hq8,1), wS[2])."""
+    (wE[2](1,Wqa), wW[2], wN[2](L,1), wS[2]) with L = rows_len or Hq8.
+
+    ``rows_len``/``row_prefix``: the sharded variant's row vectors are
+    GLOBALLY indexed with a DEV_HALO-row zero prefix, so a kernel slicing
+    at (global slab start + DEV_HALO) >= 0 reads the right parity rows."""
     Hq, Wq, Hq8, Wqa = quad_dims(shape)
     H, W = shape
 
@@ -429,11 +478,12 @@ def _plane_weight_vectors(problem, shape):
         v = np.zeros(H)
         v[1 : problem.ny + 1] = w_full[1 : problem.ny + 1, 1]
         out = []
+        L = rows_len if rows_len is not None else Hq8
         for r in range(2):
-            vp = np.zeros(Hq8)
+            vp = np.zeros(L)
             part = v[r::2]
-            vp[: part.size] = part
-            out.append(jnp.asarray(vp, jnp.float32).reshape(Hq8, 1))
+            vp[row_prefix : row_prefix + part.size] = part
+            out.append(jnp.asarray(vp, jnp.float32).reshape(L, 1))
         return out
 
     return col_vec(problem.wE), col_vec(problem.wW), row_vec(problem.wN), row_vec(problem.wS)
@@ -486,7 +536,10 @@ def _band_maker(s, slab, W, ny):
     half-sweep except where the slab touches a physical edge (ghost rows
     terminate the dependency chain, as in kernels.rb_smoother)."""
     local = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
-    at_bottom = s == 0
+    # <= 0: the sharded variant's bottom device has its slab start at the
+    # NEGATIVE global row -DEV_HALO (dead halo rows below the physical
+    # ghost); same termination semantics as s == 0 on a single device.
+    at_bottom = s <= 0
     at_top = s + slab >= (ny + 1) // 2 + 1
 
     def band(lo):
@@ -499,30 +552,45 @@ def _band_maker(s, slab, W, ny):
 
 def make_quad_pre_smooth_restrict(shape, problem, omega: float, n_pairs: int,
                                   coarse_shape: tuple[int, int],
-                                  tile_rows: int = 128, interpret: bool = False):
+                                  tile_rows: int = 128, interpret: bool = False,
+                                  shard: tuple[int, int] | None = None):
     """(p4, b4) -> (p4, rc): n_pairs exact red/black pairs on the finest
     level, then the residual restricted (full-weighting) STRAIGHT to the
     aligned coarse source array — the V-cycle's pre-smooth + residual +
     restriction in one HBM round trip.
 
     ``coarse_shape``: the aligned (Hc8, Wc) level-1 array shape; its rows
-    coincide 1:1 with plane rows (Hc8 == Hq8, Wc == Wqa is asserted)."""
+    coincide 1:1 with plane rows (Hc8 == Hq8, Wc == Wqa is asserted).
+
+    ``shard``: (P, mdy) for the SPMD variant (see _make_quad_slab_kernel):
+    arrays are local (4, P+16, Wqa) blocks, coarse_shape is the LOCAL
+    (P+16, Wqa), and the call takes a leading row_base scalar."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
     Hq, Wq, Hq8, Wqa = quad_dims(shape)
-    assert coarse_shape == (Hq8, Wqa), (coarse_shape, (Hq8, Wqa))
+    if shard is not None:
+        P, mdy = shard
+        expect = (P + 16, Wqa)
+        vec_len, voff = mdy * P + 16, 8
+    else:
+        expect = (Hq8, Wqa)
+        vec_len, voff = None, 0
+    assert coarse_shape == expect, (coarse_shape, expect)
     idx2 = 1.0 / (problem.dx * problem.dx)
     idy2 = 1.0 / (problem.dy * problem.dy)
-    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape)
+    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape,
+                                               rows_len=vec_len,
+                                               row_prefix=voff)
 
     def compute(s, qins, fin, consts):
         p, b = qins
         slab, W = p[0].shape
+        sv = pl.multiple_of((s + voff).astype(jnp.int32), 8)
         wE = [consts[0][:], consts[1][:]]
         wW = [consts[2][:], consts[3][:]]
-        wNs = [consts[4][pl.ds(s, slab), :], consts[5][pl.ds(s, slab), :]]
-        wSs = [consts[6][pl.ds(s, slab), :], consts[7][pl.ds(s, slab), :]]
+        wNs = [consts[4][pl.ds(sv, slab), :], consts[5][pl.ds(sv, slab), :]]
+        wSs = [consts[6][pl.ds(sv, slab), :], consts[7][pl.ds(sv, slab), :]]
         grow, gcol = _qiota(s, slab, W)
         masks = [(g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
                  for g, c in zip(grow, gcol)]
@@ -547,33 +615,48 @@ def make_quad_pre_smooth_restrict(shape, problem, omega: float, n_pairs: int,
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_out_shape=coarse_shape,
         const_inputs=(*wEc, *wWc, *wNc, *wSc),
-        vmem_bytes_per_cell=230)
+        vmem_bytes_per_cell=230,
+        shard=None if shard is None else shard[0])
     return call
 
 
 def make_quad_post_prolong_smooth(shape, problem, omega: float, n_pairs: int,
                                   coarse_shape: tuple[int, int],
-                                  tile_rows: int = 128, interpret: bool = False):
+                                  tile_rows: int = 128, interpret: bool = False,
+                                  shard: tuple[int, int] | None = None):
     """(p4, b4, ec) -> (p4, res_inf): bilinear prolongation of the coarse
     correction fused with the post-smooth pairs and the tolerance-check
     residual — the V-cycle's coarse-correction + post-smooth + max|r| in
-    one HBM round trip (replacing the stack/reshape interleave chain)."""
+    one HBM round trip (replacing the stack/reshape interleave chain).
+
+    ``shard``: (P, mdy) SPMD variant; res_inf is the per-device partial
+    max (caller pmaxes)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
     Hq, Wq, Hq8, Wqa = quad_dims(shape)
-    assert coarse_shape == (Hq8, Wqa), (coarse_shape, (Hq8, Wqa))
+    if shard is not None:
+        P, mdy = shard
+        expect = (P + 16, Wqa)
+        vec_len, voff = mdy * P + 16, 8
+    else:
+        expect = (Hq8, Wqa)
+        vec_len, voff = None, 0
+    assert coarse_shape == expect, (coarse_shape, expect)
     idx2 = 1.0 / (problem.dx * problem.dx)
     idy2 = 1.0 / (problem.dy * problem.dy)
-    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape)
+    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape,
+                                               rows_len=vec_len,
+                                               row_prefix=voff)
 
     def compute(s, qins, ec, consts):
         p, b = qins
         slab, W = p[0].shape
+        sv = pl.multiple_of((s + voff).astype(jnp.int32), 8)
         wE = [consts[0][:], consts[1][:]]
         wW = [consts[2][:], consts[3][:]]
-        wNs = [consts[4][pl.ds(s, slab), :], consts[5][pl.ds(s, slab), :]]
-        wSs = [consts[6][pl.ds(s, slab), :], consts[7][pl.ds(s, slab), :]]
+        wNs = [consts[4][pl.ds(sv, slab), :], consts[5][pl.ds(sv, slab), :]]
+        wSs = [consts[6][pl.ds(sv, slab), :], consts[7][pl.ds(sv, slab), :]]
         grow, gcol = _qiota(s, slab, W)
         masks = [(g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
                  for g, c in zip(grow, gcol)]
@@ -613,7 +696,8 @@ def make_quad_post_prolong_smooth(shape, problem, omega: float, n_pairs: int,
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_in_shape=coarse_shape,
         scalar_reduce="max", const_inputs=(*wEc, *wWc, *wNc, *wSc),
-        vmem_bytes_per_cell=230)
+        vmem_bytes_per_cell=230,
+        shard=None if shard is None else shard[0])
     return call
 
 
@@ -764,7 +848,8 @@ def make_quad_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
 
 def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
                                     tile_rows: int = 128,
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    shard: tuple[int, int] | None = None):
     """Tentative-state cavity step stage: (us, vs, p, p_prev) ->
     (us', vs', b', guess, max|b'|).
 
@@ -824,7 +909,8 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, scalar_reduce="max",
-        vmem_bytes_per_cell=390)
+        vmem_bytes_per_cell=390,
+        shard=None if shard is None else shard[0])
     return call
 
 

@@ -229,7 +229,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         out.wait()
 
     out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((2, slab, W), jnp.float32),
         pltpu.VMEM((2, slab, W), jnp.float32),
@@ -241,15 +241,15 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                      pl.BlockSpec(memory_space=pltpu.SMEM))
     elif with_residual_field:
         out_shape = (out_shape, jax.ShapeDtypeStruct((H8, W), jnp.float32))
-        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, slab, W), jnp.float32))
         n_sems = 4
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

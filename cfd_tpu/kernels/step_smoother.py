@@ -216,7 +216,7 @@ def make_step_masked_pairs(shape: tuple[int, int], step_i: int,
         out.wait()
 
     out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
-    out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
         pltpu.VMEM((2, slab, W), jnp.float32),
         pltpu.VMEM((2, slab, W), jnp.float32),
@@ -227,13 +227,13 @@ def make_step_masked_pairs(shape: tuple[int, int], step_i: int,
         out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.SMEM))
     elif with_residual_field:
         out_shape = (out_shape, jax.ShapeDtypeStruct((H8, W), jnp.float32))
-        out_specs = (out_specs, pl.BlockSpec(memory_space=pltpu.ANY))
+        out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
         scratch.append(pltpu.VMEM((2, slab, W), jnp.float32))
         n_sems = 4
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((2, n_sems))],

@@ -1,0 +1,464 @@
+"""The flagship quad/Pallas cavity step under shard_map (multi-chip).
+
+VERDICT round-2 item 1: the 10x single-chip fast path (kernels.quad
+tentative-state carry + fused V-cycle level 0) made SPMD, so the flagship
+number survives scale-out instead of reverting to the whole-array XLA
+sharded path (parallel.sharded.ShardedCavity).
+
+Decomposition: 1-D over quad PLANE ROWS (kernels.quad.quad_shard_dims).
+The red/black parity of the quad layout lives entirely in the plane index
+q = 2*(j%2) + (i%2) — a plane-row split never flips the coloring across
+devices, which is what makes the kernels shardable at all. Each device owns
+P plane rows (P % 8 == 0) and carries them bracketed by 8-row neighbor halo
+strips, refreshed with ``lax.ppermute`` between kernel invocations; 8 rows
+is exactly the kernels' slab halo, so the existing band-shrink bookkeeping
+absorbs device-edge staleness the same way it absorbs slab-edge staleness
+(the kernels just receive a traced global ``row_base``).
+
+V-cycle layout per solve iteration:
+
+* level 0 (dominant cost): the fused quad Pallas kernels
+  (pre_smooth_restrict / post_prolong_smooth) on local blocks;
+* level 1: XLA red/black smoothing on the local aligned blocks with the
+  same band bookkeeping — the 8-row halo covers a full pre(2 pairs)+
+  residual+post(1 pair) block with NO mid-level exchange (7 rows consumed);
+* level 2 down to the dense-pinv coarsest solve: residual all_gathered and
+  the tiny tail run REPLICATED on every device (identical redundant FLOPs
+  beat any communication at those sizes — same coarse-switch pattern as
+  parallel.mg_sharded).
+
+Per V-cycle communication: 3 halo refreshes (p, rc, ec — 8-row strips), one
+small all_gather (level-2 source), and the pmax residual scalar. The
+tolerance while_loop sees replicated scalars, so every device runs the same
+cycle count and the iterates match the single-device quad solver to f32
+roundoff on owned rows (asserted in tests/test_quad_sharded.py).
+
+Reference anchor: this replaces the reference's SOR hot loop
+(cavity-01.cpp:609-690) at scale; sharding design per SURVEY.md section 5.7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P_
+
+from cfd_tpu.kernels.quad import (
+    from_quad,
+    make_quad_corr_predictor_source,
+    make_quad_corrector,
+    make_quad_post_prolong_smooth,
+    make_quad_pre_smooth_restrict,
+    quad_dims,
+    quad_shard_dims,
+    to_quad,
+    uncorrect_quad,
+)
+from cfd_tpu.poisson import multigrid as M
+from cfd_tpu.state import State
+from cfd_tpu.solver import Case
+
+DEV_HALO = 8
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axis checking off: pallas_call's
+    out_shape ShapeDtypeStructs carry no vma annotation, which trips
+    check_vma inside an SPMD body (the collectives are still type-checked
+    by execution; correctness is asserted against the single-device path
+    in tests/test_quad_sharded.py)."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax spelling
+        from jax.experimental.shard_map import shard_map as _esm
+
+        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_rep=False)
+
+
+def _shift_perm(n: int, direction: int) -> list[tuple[int, int]]:
+    if direction > 0:
+        return [(i, i + 1) for i in range(n - 1)]
+    return [(i + 1, i) for i in range(n - 1)]
+
+
+def _refresh(x, P: int, mdy: int, axis: str):
+    """Refresh the DEV_HALO-row halo strips of a local extended array
+    (rows axis = -2; works for (4, P+16, W) quad and (P+16, W) flat).
+    Edge devices receive ppermute's zero fill — their halo rows are dead
+    (outside the padded global grid) and masked by every consumer."""
+    if mdy == 1:
+        return x
+    h = DEV_HALO
+    nd = x.ndim
+    idx = (0,) * nd
+
+    def rows(lo, size):
+        sl = [slice(None)] * nd
+        sl[-2] = slice(lo, lo + size)
+        return tuple(sl)
+
+    from_south = lax.ppermute(x[rows(P, h)], axis, _shift_perm(mdy, +1))
+    from_north = lax.ppermute(x[rows(h, h)], axis, _shift_perm(mdy, -1))
+    x = lax.dynamic_update_slice(x, from_south, idx)
+    top = (0,) * (nd - 2) + (P + h, 0)
+    return lax.dynamic_update_slice(x, from_north, top)
+
+
+def _row_vec_global(w_full: np.ndarray, ny: int, length: int) -> jnp.ndarray:
+    """(length, 1) globally-indexed row vector with a DEV_HALO zero prefix:
+    v[DEV_HALO + g] = w_full[g, 1] for padded rows g (0 outside 1..ny)."""
+    v = np.zeros(length)
+    src = np.zeros(w_full.shape[0])
+    src[1 : ny + 1] = w_full[1 : ny + 1, 1]
+    v[DEV_HALO : DEV_HALO + src.size] = src
+    return jnp.asarray(v, jnp.float32).reshape(length, 1)
+
+
+def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
+                            shape: tuple[int, int], mdy: int,
+                            interpret: bool = False, axis: str = "dy"):
+    """Build solve_local(guess, b, rb, jy, max_b) for use inside a
+    shard_map body over an ``axis``-sized-``mdy`` mesh axis.
+
+    ``guess``/``b`` are local extended quad blocks (4, P+16, Wqa) with
+    FRESH halos; ``rb`` = jy*P - DEV_HALO (traced); ``max_b`` the global
+    max|b| (already pmaxed). Returns (p, cycles, residual_inf) with p's
+    halos fresh and replicated scalars."""
+    Hq8s, P, W = quad_shard_dims(shape, mdy)
+    dtype = jnp.float32
+    loc = (P + 2 * DEV_HALO, W)
+
+    pre_quad = make_quad_pre_smooth_restrict(
+        shape, problem, cfg.omega, cfg.pre_sweeps, loc,
+        shard=(P, mdy), interpret=interpret)
+    post_quad = make_quad_post_prolong_smooth(
+        shape, problem, cfg.omega, cfg.post_sweeps, loc,
+        shard=(P, mdy), interpret=interpret)
+
+    # hierarchy below the quad level: the SAME aligned levels as the
+    # single-device quad path (poisson.multigrid make_multigrid_poisson
+    # aligned_io), so cycle counts and iterates coincide
+    probs = [problem]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse
+           and probs[-1].ny // 2 >= cfg.min_coarse):
+        probs.append(M.coarsen_problem(probs[-1]))
+    if len(probs) < 3:
+        raise ValueError("sharded quad multigrid needs >= 3 levels")
+    levels = [M._build_level(p, dtype, aligned=True) for p in probs[1:]]
+    L1 = levels[0]
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    assert L1.shape == (Hq8, Wqa), (L1.shape, (Hq8, Wqa))
+    pinv = jnp.asarray(M._dense_pinv(probs[-1]), dtype)
+    bot = levels[-1]
+    bot_ny, bot_nx = bot.ny, bot.nx
+
+    # level-1 sharded-smoother constants
+    p1 = probs[1]
+    ny1, nx1 = p1.ny, p1.nx
+    idx2_1 = 1.0 / (p1.dx * p1.dx)
+    idy2_1 = 1.0 / (p1.dy * p1.dy)
+    wE1 = L1.wE  # (1, W) aligned column vectors, identical on all devices
+    wW1 = L1.wW
+    wN1g = _row_vec_global(p1.wN, ny1, Hq8s + 2 * DEV_HALO)
+    wS1g = _row_vec_global(p1.wS, ny1, Hq8s + 2 * DEV_HALO)
+
+    gmax = lambda x: lax.pmax(x, axis)
+
+    def l1_geom(jy):
+        """(interior, red, black, inv, wN, wS) on the local extended
+        level-1 block from the device's mesh position."""
+        lr = lax.broadcasted_iota(jnp.int32, loc, 0)
+        lc = lax.broadcasted_iota(jnp.int32, loc, 1)
+        gj = jy * P - DEV_HALO + lr  # global aligned level-1 row
+        interior = (gj >= 1) & (gj <= ny1) & (lc >= 1) & (lc <= nx1)
+        even = ((gj + lc) % 2) == 0
+        off = (jy * P).astype(jnp.int32)  # into the HALO-prefixed vectors
+        zero = jnp.asarray(0, jnp.int32)
+        wN = lax.dynamic_slice(wN1g, (off, zero), (loc[0], 1))
+        wS = lax.dynamic_slice(wS1g, (off, zero), (loc[0], 1))
+        denom = idx2_1 * (wE1 + wW1) + idy2_1 * (wN + wS)
+        denom = jnp.broadcast_to(denom, loc)
+        inv = jnp.where(interior, 1.0 / jnp.where(denom > 0, denom, 1.0),
+                        jnp.zeros(loc, dtype))
+        return interior, interior & even, interior & ~even, inv, wN, wS
+
+    def l1_band(k, jy):
+        """Valid-row band after k half-sweeps of consumption: shrinks from
+        the halo edges except where the device touches a physical boundary
+        (same bookkeeping as kernels.quad._band_maker, at XLA level)."""
+        lr = lax.broadcasted_iota(jnp.int32, loc, 0)
+        lo = jnp.where(jy == 0, 0, k)
+        hi = jnp.where(jy == mdy - 1, loc[0], loc[0] - k)
+        return (lr >= lo) & (lr < hi)
+
+    def l1_half(e, r, mask, geom):
+        _, _, _, inv, wN, wS = geom
+        gs = (idx2_1 * (wE1 * M._sh(e, 0, 1) + wW1 * M._sh(e, 0, -1))
+              + idy2_1 * (wN * M._sh(e, 1, 0) + wS * M._sh(e, -1, 0))
+              - r) * inv
+        upd = e + cfg.omega * (gs - e)
+        return jnp.where(mask, upd.astype(e.dtype), e)
+
+    def l1_residual(e, r, geom, consumed, jy):
+        interior = geom[0]
+        a = (idx2_1 * (wE1 * (M._sh(e, 0, 1) - e) + wW1 * (M._sh(e, 0, -1) - e))
+             + idy2_1 * (geom[4] * (M._sh(e, 1, 0) - e)
+                         + geom[5] * (M._sh(e, -1, 0) - e)))
+        res = jnp.where(interior & l1_band(consumed + 1, jy), r - a,
+                        jnp.zeros_like(r))
+        return res
+
+    # ---------------- replicated tail (levels 2..bottom) ----------------
+
+    def rep_smooth(level, p, b, n):
+        interior, red, black = M._inline_masks(level)
+        inv = M._inv_diag(level, interior)
+
+        def body(_, p):
+            p = M._smooth(level, p, b, cfg.omega, red, inv)
+            return M._smooth(level, p, b, cfg.omega, black, inv)
+
+        return lax.fori_loop(0, n, body, p)
+
+    def coarse_solve(b):
+        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
+        e = (pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
+        out = jnp.zeros(bot.shape, dtype=b.dtype)
+        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
+
+    def rep_vcycle(k, p, b):
+        level = levels[k]
+        if k == len(levels) - 1:
+            return coarse_solve(b)
+        p = rep_smooth(level, p, b, cfg.pre_sweeps)
+        r = M._residual(level, p, b)
+        rc = M._restrict(level, levels[k + 1], r)
+        ec = rep_vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
+        p = p + M._prolong(levels[k + 1], level, ec)
+        return rep_smooth(level, p, b, cfg.post_sweeps)
+
+    def l1_solve(rc, jy):
+        """Level-1 correction for the fresh-haloed local source rc:
+        pre pairs + residual + (gather -> replicated levels 2.. -> local
+        slice) + post pairs, all within the 8-row halo budget (no mid-level
+        exchange; 2*(pre+post) + 1 = 7 rows consumed <= 8)."""
+        geom = l1_geom(jy)
+        red, black = geom[1], geom[2]
+        e = jnp.zeros(loc, dtype=rc.dtype)
+        k = 0
+        for _ in range(cfg.pre_sweeps):
+            e = l1_half(e, rc, red & l1_band(k + 1, jy), geom)
+            e = l1_half(e, rc, black & l1_band(k + 2, jy), geom)
+            k += 2
+        r1 = l1_residual(e, rc, geom, k, jy)
+        # coarse switch: gather own rows into the global level-1 residual,
+        # run the tiny tail replicated, slice the local correction back out
+        r_own = lax.slice_in_dim(r1, DEV_HALO, DEV_HALO + P, axis=0)
+        r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)  # (Hq8s, W)
+        r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
+        rc2 = M._restrict(L1, levels[1], r_g)
+        e2 = rep_vcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
+        ef_g = M._prolong(levels[1], L1, e2)  # global (Hq8, W), every device
+        ef_pad = jnp.pad(ef_g, ((DEV_HALO, Hq8s + DEV_HALO - Hq8), (0, 0)))
+        ef = lax.dynamic_slice(
+            ef_pad, ((jy * P).astype(jnp.int32), jnp.asarray(0, jnp.int32)),
+            loc)
+        e = e + ef  # globally-valid correction: halo rows stay consistent
+        for _ in range(cfg.post_sweeps):
+            e = l1_half(e, rc, red & l1_band(k + 1, jy), geom)
+            e = l1_half(e, rc, black & l1_band(k + 2, jy), geom)
+            k += 2
+        return e  # own rows exact; halos stale by k (caller refreshes)
+
+    rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+
+    def solve_local(guess, b, rb, jy, max_b):
+        dtype_ = b.dtype
+        tol = jnp.maximum(
+            cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
+            jnp.asarray(cfg.abs_tol, dtype_))
+
+        def cond(carry):
+            _, res, prev, it = carry
+            return (res > tol) & (it < cfg.max_cycles) & (res < cfg.stall_ratio * prev)
+
+        def body(carry):
+            p, res, _, it = carry
+            p, rc = pre_quad(rb, p, b)
+            p = rr(p)
+            rc = rr(rc)
+            ec = l1_solve(rc, jy)
+            ec = rr(ec)
+            p, part = post_quad(rb, p, b, ec)
+            p = rr(p)
+            return p, gmax(part).astype(dtype_), res, it + 1
+
+        big = jnp.asarray(1e30, dtype_)
+        init = (guess, big / 2, big, jnp.asarray(0, jnp.int32))
+        p, res, _, iters = lax.while_loop(cond, body, init)
+        return p, iters, res
+
+    return solve_local
+
+
+class ShardedQuadCavity:
+    """Multi-chip cavity solver on the quad/Pallas fast path.
+
+    State: 4 extended-stacked global arrays (4, mdy*(P+16), Wqa) sharded
+    over a 1-D ("dy",) mesh — each device's slice is its local quad block
+    with halo strips (the tentative-carry fields us*, vs*, p, p_prev).
+    ``step``/``multi_step`` are jitted shard_map SPMD programs;
+    ``logical_state`` gathers and converts to the padded (ny+2, nx+2)
+    layout for stats/export (print cadence only).
+    """
+
+    def __init__(self, case: Case, mesh, interpret: bool = False,
+                 axis: str = "dy", tol_factor: float | None = None,
+                 mg_overrides: dict | None = None):
+        from cfd_tpu.poisson.multigrid import MGConfig, cavity_problem
+
+        grid = case.grid
+        if grid.has_solids or case.ordering != "cavity":
+            raise ValueError("ShardedQuadCavity covers the cavity flavor")
+        if np.dtype(case.dtype) != np.float32:
+            raise ValueError("the quad fast path is float32")
+        self.case = case
+        self.mesh = mesh
+        self.axis = axis
+        mdy = mesh.shape[axis]
+        self.mdy = mdy
+        shape = grid.shape
+        self.shape = shape
+        Hq8s, P, W = quad_shard_dims(shape, mdy)
+        self.P, self.W, self.Hq8s = P, W, Hq8s
+        coeffs = case.coeffs
+        lid = case.info.get("lid_velocity", 1.0) if case.info else 1.0
+
+        mg = MGConfig(tol_factor=tol_factor if tol_factor is not None
+                      else 1e-9, abs_tol=0.0, post_sweeps=1)
+        if mg_overrides:
+            mg = dataclasses.replace(mg, **mg_overrides)
+        self.mg = mg
+        problem = cavity_problem(grid.nx, grid.ny, grid.dx, grid.dy)
+
+        fused = make_quad_corr_predictor_source(
+            shape, coeffs, lid, shard=(P, mdy), interpret=interpret)
+        solve = make_sharded_quad_solve(problem, mg, shape, mdy,
+                                        interpret=interpret, axis=axis)
+        rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+        gmax = lambda x: lax.pmax(x, axis)
+
+        def step_local(us, vs, p, p_prev):
+            jy = lax.axis_index(axis)
+            rb = jy * P - DEV_HALO
+            us2, vs2, b, guess, part = fused(rb, us, vs, p, p_prev)
+            us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
+            max_b = gmax(part)
+            p2, iters, res = solve(guess, b, rb, jy, max_b)
+            return us2, vs2, p2, p, iters, res
+
+        spec = P_(None, axis, None)
+        scalar = P_()
+        self._spec = spec
+        self._sharding = NamedSharding(mesh, spec)
+
+        def one(us, vs, p, p_prev):
+            us2, vs2, p2, pp2, iters, res = step_local(us, vs, p, p_prev)
+            return us2, vs2, p2, pp2, iters, res
+
+        self._step = jax.jit(_shard_map(
+            one, mesh, in_specs=(spec,) * 4,
+            out_specs=(spec, spec, spec, spec, scalar, scalar)))
+
+        def chunk(us, vs, p, p_prev, n_steps):
+            def body(carry, _):
+                us, vs, p, p_prev = carry
+                us2, vs2, p2, pp2, iters, res = step_local(us, vs, p, p_prev)
+                return (us2, vs2, p2, pp2), (iters, res)
+
+            (us, vs, p, p_prev), (iters, res) = lax.scan(
+                body, (us, vs, p, p_prev), None, length=n_steps)
+            return us, vs, p, p_prev, iters, res
+
+        self._chunk_cache: dict[int, callable] = {}
+
+        def make_chunk(n):
+            return jax.jit(_shard_map(
+                partial(chunk, n_steps=n), mesh, in_specs=(spec,) * 4,
+                out_specs=(spec, spec, spec, spec, scalar, scalar)))
+
+        self._make_chunk = make_chunk
+
+        # boundary converters (host-cadence): logical padded layout <->
+        # extended-stacked sharded layout
+        self._to_quad = lambda a: to_quad(a, shape)
+        Hq, Wq, Hq8, Wqa = quad_dims(shape)
+        self._Hq8 = Hq8
+        self._corr = make_quad_corrector(shape, coeffs, lid,
+                                         interpret=interpret)
+        self._coeffs = coeffs
+
+    # ---------------- layout conversion (print cadence only) ----------------
+
+    def _extend(self, q: np.ndarray) -> np.ndarray:
+        """(4, Hq8?, W) global quad -> (4, mdy*(P+16), W) extended-stacked."""
+        q = np.asarray(q)
+        pad_rows = self.Hq8s - q.shape[1]
+        qp = np.pad(q, ((0, 0), (DEV_HALO, pad_rows + DEV_HALO), (0, 0)))
+        parts = [qp[:, jy * self.P : jy * self.P + self.P + 2 * DEV_HALO, :]
+                 for jy in range(self.mdy)]
+        return np.concatenate(parts, axis=1)
+
+    def _collapse(self, x) -> np.ndarray:
+        """(4, mdy*(P+16), W) -> (4, Hq8s, W) own rows."""
+        x = np.asarray(x)
+        E = self.P + 2 * DEV_HALO
+        parts = [x[:, jy * E + DEV_HALO : jy * E + DEV_HALO + self.P, :]
+                 for jy in range(self.mdy)]
+        return np.concatenate(parts, axis=1)
+
+    def _put(self, a: np.ndarray):
+        return jax.device_put(jnp.asarray(a, jnp.float32), self._sharding)
+
+    def initial_state(self):
+        """Tentative-carry initial state from the logical zero state (BCs
+        applied), as 4 sharded extended-stacked arrays."""
+        case = self.case
+        s = State.zeros(self.shape, dtype=jnp.float32)
+        u, v = case.velocity_bc(s.u, s.v)
+        us, vs = uncorrect_quad(u, v, s.p, self.shape, self._coeffs,
+                                cavity_form=True)
+        qs = [np.asarray(self._to_quad(a)) for a in (us, vs, s.p, s.p)]
+        return tuple(self._put(self._extend(q)) for q in qs)
+
+    def step(self, state):
+        us, vs, p, p_prev = state
+        us, vs, p, p_prev, iters, res = self._step(us, vs, p, p_prev)
+        return (us, vs, p, p_prev), {"poisson_iters": iters,
+                                     "poisson_residual": res}
+
+    def run_chunk(self, state, n_steps: int):
+        if n_steps not in self._chunk_cache:
+            self._chunk_cache[n_steps] = self._make_chunk(n_steps)
+        us, vs, p, p_prev, iters, res = self._chunk_cache[n_steps](*state)
+        return (us, vs, p, p_prev), {"poisson_iters": iters,
+                                     "poisson_residual": res}
+
+    def logical(self, state) -> State:
+        """Gather + correct to the logical padded (ny+2, nx+2) state (the
+        tentative carry's unalign: run the corrector on the gathered quad
+        arrays)."""
+        us, vs, p, p_prev = (self._collapse(x)[:, : self._Hq8, :]
+                             for x in state)
+        u2, v2, _ = self._corr(jnp.asarray(us), jnp.asarray(vs),
+                               jnp.asarray(p), jnp.asarray(p))
+        f = lambda a: from_quad(jnp.asarray(a), self.shape)
+        return State(f(u2), f(v2), f(p), None, f(p_prev))

