@@ -43,6 +43,8 @@ def make_backwards_step_case(
     poisson: str = "auto",  # "auto" | "sor" | "multigrid" (defect-correction masked MG)
     dtype=jnp.float64,
     smoother_mode: str = "auto",  # "auto" | "off" | "interpret" (Pallas fine level)
+    layout: str = "auto",  # "auto" | "quad" (f32 kernel path)
+    mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
 ) -> Case:
     ensure_dtype_enabled(dtype)
     from cfd_tpu.params import check_cfl, validate_case_params
@@ -96,7 +98,11 @@ def make_backwards_step_case(
         # level (ghost refresh incl. solid-cell averaging), weighted
         # approximation on the coarse hierarchy (SURVEY.md "masked multigrid"
         # hard part).
+        import dataclasses as _dc
+
         mg = MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol)
+        if mg_overrides:
+            mg = _dc.replace(mg, **mg_overrides)
         solve = make_masked_multigrid_poisson(
             grid, coeffs, mg, step_pressure_ghosts(grid), dtype=dtype,
             smoother_mode=smoother_mode)
@@ -106,9 +112,92 @@ def make_backwards_step_case(
         poisson_cap = sor.max_iters
     else:
         raise ValueError(f"unknown poisson solver: {poisson}")
+
+    # f32 quad fast path (VERDICT round-2 item 2b): tentative-state carry +
+    # fused masked projection + quad exact fine level (kernels.step_quad)
+    # over the aligned masked coarse hierarchy — the step-case twin of the
+    # channel factory's quad branch.
+    step_kernels = None
+    align_state = unalign_state = None
+    use_quad = False
+    import numpy as _np
+    import jax as _jax
+
+    dev = _jax.config.jax_default_device
+    platform = dev.platform if dev is not None else _jax.default_backend()
+    interp = smoother_mode == "interpret"
+    # layout="auto" only picks quad on a real TPU (so the CPU test suite's
+    # smoother_mode knobs keep their natural-layout meaning); explicit
+    # layout="quad" + smoother_mode="interpret" opts in on CPU.
+    quad_wanted = (layout == "quad"
+                   or (layout == "auto" and smoother_mode == "auto"
+                       and platform == "tpu"))
+    if (_np.dtype(dtype) == _np.float32 and poisson == "multigrid"
+            and quad_wanted and (interp or platform == "tpu")):
+        from cfd_tpu.kernels.quad import from_quad, quad_dims, to_quad
+        from cfd_tpu.poisson.multigrid import (
+            _round_up8_128,
+            make_masked_quad_multigrid_poisson,
+            step_rect_params,
+        )
+
+        rect = step_rect_params(grid)
+        coarse_shape = _round_up8_128((ny // 2 + 2, nx // 2 + 2))
+        _, _, Hq8, Wqa = quad_dims(grid.shape)
+        use_quad = rect is not None and coarse_shape == (Hq8, Wqa)
+        if layout == "quad" and not use_quad:
+            raise ValueError(
+                f"quad layout unavailable: rect={rect}, coarse shape "
+                f"{coarse_shape} vs quad plane shape {(Hq8, Wqa)}")
+        if use_quad:
+            from cfd_tpu.kernels.step_quad import (
+                make_quad_step_corr_predictor_source,
+                make_quad_step_corrector,
+                uncorrect_step_quad,
+            )
+            from cfd_tpu.state import State
+
+            # V(2,1) like the cavity/channel f32 paths unless overridden
+            if not (mg_overrides and "post_sweeps" in mg_overrides):
+                mg = _dc.replace(mg, post_sweeps=1)
+            step_i_, inlet_j_ = rect
+            corr = make_quad_step_corrector(
+                grid.shape, coeffs, step_i_, inlet_j_, inlet_velocity,
+                interpret=interp)
+            step_kernels = (
+                make_quad_step_corr_predictor_source(
+                    grid.shape, coeffs, step_i_, inlet_j_, inlet_velocity,
+                    interpret=interp),
+                corr,
+            )
+            solve = make_masked_quad_multigrid_poisson(
+                grid, coeffs, mg, dtype=dtype, interpret=interp)
+
+            def align_state(state):
+                us, vs = uncorrect_step_quad(state.u, state.v, state.p,
+                                             grid.shape, coeffs,
+                                             step_i_, inlet_j_)
+                t = lambda a: to_quad(a, grid.shape)
+                p_prev = state.p if state.p_prev is None else state.p_prev
+                return State(t(us), t(vs), t(state.p), state.T, t(p_prev))
+
+            def unalign_state(state):
+                u2, v2, _ = corr(state.u, state.v, state.p, state.p)
+                f = lambda a: from_quad(a, grid.shape)
+                return State(f(u2), f(v2), f(state.p), state.T,
+                             None if state.p_prev is None else f(state.p_prev))
+    if layout != "auto" and step_kernels is None:
+        raise ValueError(
+            f"layout={layout!r} requires the f32 multigrid kernel path "
+            "(dtype=float32, poisson='multigrid', TPU platform or "
+            "smoother_mode='interpret')")
     return Case(
         name="backwards_step",
         poisson_max_iters=poisson_cap,
+        step_kernels=step_kernels,
+        carry_tentative=use_quad,
+        align_state=align_state,
+        unalign_state=unalign_state,
         # Extrapolated warm start (2p - p_prev), as in the cavity/channel
         # multigrid flavors: measured 4.0 -> ~1 V-cycles/step at 2048x256
         # (VERDICT round-2 item 2a); the converged state is

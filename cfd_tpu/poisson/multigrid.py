@@ -155,16 +155,29 @@ def _is_separable(p: PoissonProblem) -> bool:
             and cols_equal(p.wN) and cols_equal(p.wS))
 
 
-def _build_level(p: PoissonProblem, dtype, aligned: bool = False) -> _Level:
+def _build_level(p: PoissonProblem, dtype, aligned: bool = False,
+                 allow_full: bool = False) -> _Level:
     """``aligned``: carry the level's arrays in the Mosaic-aligned layout
-    (shape rounded up to 8x128 with zero weights beyond the logical grid) —
-    usable only for separable problems."""
+    (shape rounded up to 8x128 with zero weights beyond the logical grid).
+    Non-separable problems (masked geometry) require ``allow_full``: their
+    2D weight arrays are zero-padded to the aligned shape."""
     idx2 = 1.0 / (p.dx * p.dx)
     idy2 = 1.0 / (p.dy * p.dy)
     H, W = (p.ny + 2, p.nx + 2)
     if aligned:
         if not _is_separable(p):
-            raise ValueError("aligned levels require separable weights")
+            if not allow_full:
+                raise ValueError("aligned levels require separable weights")
+            Ha, Wa = _round_up8_128((H, W))
+            pad = lambda w: np.pad(w, ((0, Ha - H), (0, Wa - W)))
+            return _Level(
+                wE=jnp.asarray(pad(p.wE), dtype),
+                wW=jnp.asarray(pad(p.wW), dtype),
+                wN=jnp.asarray(pad(p.wN), dtype),
+                wS=jnp.asarray(pad(p.wS), dtype),
+                idx2=idx2, idy2=idy2, shape=(Ha, Wa), separable=False,
+                ny=p.ny, nx=p.nx,
+            )
         H, W = _round_up8_128((H, W))
     if _is_separable(p):
         wE = np.zeros((1, W))
@@ -728,3 +741,110 @@ def make_masked_multigrid_poisson(grid, coeffs, cfg: MGConfig, ghosts,
     return make_multigrid_poisson(prob, cfg, dtype, n_interior=grid.n_fluid,
                                   exact_level0=(smooth0, residual0),
                                   exact_level0_fused=fused)
+
+
+def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
+                                       dtype=jnp.float32,
+                                       interpret: bool = False):
+    """Quad-layout defect-correction multigrid for the reference's step
+    rectangle: the finest level runs the fused quad exact-smoother kernels
+    (kernels.step_quad — ghosts + dense red/black planes + residual +
+    restriction/prolongation in one HBM round trip each), the coarse
+    hierarchy the weighted masked approximation on ALIGNED levels
+    (whole-array XLA; 2D weights). solve(p4_warm, b4) -> (p4, cycles, res)
+    takes/returns the finest pressure in the quad (4, Hq8, Wqa) layout.
+
+    Raises ValueError when the raster is not the reference rectangle or the
+    aligned level-1 shape does not coincide with the quad plane shape."""
+    from cfd_tpu.kernels.quad import quad_dims
+    from cfd_tpu.kernels.step_quad import (
+        make_quad_step_post_prolong_smooth,
+        make_quad_step_pre_smooth_restrict,
+    )
+
+    rect = step_rect_params(grid)
+    if rect is None:
+        raise ValueError("quad masked multigrid requires the reference's "
+                         "step rectangle raster")
+    if np.dtype(dtype) != np.float32:
+        raise ValueError("the quad path is float32")
+    step_i, inlet_j = rect
+    nx, ny = grid.nx, grid.ny
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+
+    probs = [masked_channel_problem(grid, coeffs.dx, coeffs.dy)]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse
+           and probs[-1].ny // 2 >= cfg.min_coarse):
+        probs.append(coarsen_problem(probs[-1]))
+    if len(probs) < 2:
+        raise ValueError("grid too small for the quad masked hierarchy")
+    levels = [_build_level(p, dtype, aligned=True, allow_full=True)
+              for p in probs[1:]]
+    Hq, Wq, Hq8, Wqa = quad_dims(grid.shape)
+    if levels[0].shape != (Hq8, Wqa):
+        raise ValueError(f"aligned coarse shape {levels[0].shape} != quad "
+                         f"plane shape {(Hq8, Wqa)}")
+    pinv = jnp.asarray(_dense_pinv(probs[-1]), dtype)
+    bot = levels[-1]
+    bot_ny, bot_nx = bot.ny, bot.nx
+
+    pre = make_quad_step_pre_smooth_restrict(
+        grid.shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.pre_sweeps,
+        (Hq8, Wqa), interpret=interpret)
+    post = make_quad_step_post_prolong_smooth(
+        grid.shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.post_sweeps,
+        (Hq8, Wqa), interpret=interpret)
+
+    def smooth(level, p, b, n):
+        interior, red, black = _inline_masks(level)
+        inv = _inv_diag(level, interior)
+
+        def body(_, p):
+            p = _smooth(level, p, b, cfg.omega, red, inv)
+            return _smooth(level, p, b, cfg.omega, black, inv)
+
+        return jax.lax.fori_loop(0, n, body, p)
+
+    def coarse_solve(b):
+        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
+        e = (pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
+        out = jnp.zeros(bot.shape, dtype=b.dtype)
+        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
+
+    def cvcycle(k, p, b):
+        level = levels[k]
+        if k == len(levels) - 1:
+            return coarse_solve(b)
+        p = smooth(level, p, b, cfg.pre_sweeps)
+        r = _residual(level, p, b)
+        rc = _restrict(level, levels[k + 1], r)
+        ec = cvcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
+        p = p + _prolong(levels[k + 1], level, ec)
+        return smooth(level, p, b, cfg.post_sweeps)
+
+    def solve(p_warm, b, max_b=None):
+        dtype_ = b.dtype
+        if max_b is None:
+            max_b = jnp.max(jnp.abs(b))  # b is 0 outside fluid by construction
+        tol = jnp.maximum(
+            cfg.tol_factor * jnp.where(max_b > 0, max_b, jnp.ones_like(max_b)),
+            jnp.asarray(cfg.abs_tol, dtype_))
+
+        def cond(carry):
+            _, res, prev, it = carry
+            return (res > tol) & (it < cfg.max_cycles) & (res < cfg.stall_ratio * prev)
+
+        def body(carry):
+            p, res, _, it = carry
+            p, rc = pre(p, b)
+            ec = cvcycle(0, jnp.zeros(levels[0].shape, dtype=rc.dtype), rc)
+            p, new_res = post(p, b, ec)
+            return p, new_res.astype(dtype_), res, it + 1
+
+        big = jnp.asarray(1e30, dtype_)
+        init = (p_warm, big / 2, big, jnp.asarray(0, jnp.int32))
+        p, res, _, iters = jax.lax.while_loop(cond, body, init)
+        return p, iters, res
+
+    return solve

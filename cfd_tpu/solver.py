@@ -137,11 +137,18 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
 
     def remove_mean_quad(b, sum_b):
         """Mean removal over the quad-plane layout (cell mask from the
-        per-plane global iotas)."""
+        per-plane global iotas; fluid-only for the step rectangle — the
+        kernel emits b = 0 on solid cells and the mean must not disturb
+        them, backwards_step-01.cpp:843-865)."""
         q = jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
         jj = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) + (q >> 1)
         ii = 2 * jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) + (q & 1)
         cell = (jj >= 1) & (jj <= grid.ny) & (ii >= 1) & (ii <= grid.nx)
+        if grid.has_solids:
+            from cfd_tpu.poisson.multigrid import step_rect_params
+
+            step_i, inlet_j = step_rect_params(grid)  # quad path => rect
+            cell = cell & ~((ii <= step_i) & (jj > inlet_j))
         return jnp.where(cell, b - sum_b / n_fluid, b)
 
     if case.carry_tentative and case.step_kernels is not None:
