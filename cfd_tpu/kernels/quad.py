@@ -135,7 +135,9 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                            scalar_reduce: str | None = None,
                            const_inputs=(),
                            vmem_bytes_per_cell: int = 110,
-                           shard: int | None = None):
+                           vmem_headroom: float = 10e6,
+                           shard: int | None = None,
+                           scalar_params: int = 0):
     """Skeleton: stream ``n_qin`` quad fields (4, Hq8, Wqa) through
     overlapping plane-row slabs, run ``compute(s, qins, flat_in, consts) ->
     (qouts, flat_out, scalar_arrplanes)`` and write back own rows.
@@ -154,6 +156,11 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     ``scalar_reduce`` ("max" | "sum"): compute's last return is a list of 4
     (slab, W) plane arrays reduced over each tile's own unique rows into
     one SMEM scalar.
+
+    ``scalar_params``: number of traced f32 scalars (e.g. an adaptive dt)
+    appended to the call as one (n,) SMEM input; compute then receives them
+    as a trailing ``scalars`` ref argument — coefficients derived from them
+    stay traced, so changing dt never recompiles.
 
     ``shard``: per-device owned plane-row count P for the SPMD (shard_map)
     variant. The arrays are then LOCAL blocks of height P + 16: the
@@ -186,8 +193,30 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     # need is not exactly linear in slab cells, and a 1-2 MB overshoot
     # otherwise fails the compile (measured 41.2M at a 40.05M limit for the
     # channel fused kernel).
-    vmem_limit = int(50e6)
-    slab_cap = int(40.0e6 // (vmem_bytes_per_cell * W))
+    #
+    # Per-size rule (round-3 item 4): the 40 MB sweet spot exists only
+    # while whole quad fields FIT in the VMEM left over (a field is
+    # 4*Hq8*Wqa*4 B ~ 18 MB at 2048^2). At 4096^2 a field is ~72 MB —
+    # no carry placement is possible regardless, so the budget flips to
+    # "as much slab as the kernel can use" (fewer overlapping-slab
+    # redundant rows, longer DMA bursts). CFD_TPU_VMEM_BUDGET_MB
+    # overrides for sweeps (tools/quad_vmem_sweep.py).
+    import os as _os
+
+    field_mb = 4 * Hq8 * W * 4 / 1e6  # Hq8 is local height when sharded
+    env = _os.environ.get("CFD_TPU_VMEM_BUDGET_MB")
+    if env is not None:
+        budget = float(env) * 1e6
+    elif field_mb <= 24.0:
+        budget = 40.0e6
+    else:
+        budget = 100.0e6
+    # vmem_headroom: hard-limit slack over the sizing budget (Mosaic's real
+    # stack need overshoots linear slab-cell estimates; the limit is a
+    # compile-time cap, not a reservation, so generous slack only risks
+    # masking a genuine mis-sizing)
+    vmem_limit = int(budget + vmem_headroom)
+    slab_cap = int(budget // (vmem_bytes_per_cell * W))
     t_cap = max(8, ((slab_cap - 2 * halo) // 8) * 8)
     T = min(_round_up(tile_rows, 8), t_cap, Hq8)
     if T + 2 * halo >= Hq8:
@@ -206,7 +235,9 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
         fin_hbm = refs[n_qin] if has_fin else None
         consts = refs[n_in : n_in + n_const]
         rb_ref = refs[n_in + n_const] if sharded else None
-        out0 = n_in + n_const + (1 if sharded else 0)
+        k_sp = n_in + n_const + (1 if sharded else 0)
+        sp_ref = refs[k_sp] if scalar_params else None
+        out0 = k_sp + (1 if scalar_params else 0)
         qout_hbm = refs[out0 : out0 + n_qout]
         fout_hbm = refs[out0 + n_qout] if has_fout else None
         sref = refs[out0 + n_out] if scalar else None
@@ -260,7 +291,10 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
         # compute sees the GLOBAL slab start so iota masks/bands stay global
         s_glob = pl.multiple_of((s + rb_ref[0]).astype(jnp.int32), 8) \
             if sharded else s
-        outs = compute(s_glob, qins, fin, consts)
+        if scalar_params:
+            outs = compute(s_glob, qins, fin, consts, sp_ref)
+        else:
+            outs = compute(s_glob, qins, fin, consts)
         qouts, fout, sarr = outs
 
         if scalar:
@@ -311,6 +345,8 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_const)
     if sharded:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if scalar_params:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * n_out
     out_shape = [jax.ShapeDtypeStruct((4, Hq8, W), jnp.float32)] * n_qout
     if has_fout:
@@ -337,21 +373,33 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                                              vmem_limit_bytes=vmem_limit),
     )
 
-    if sharded:
+    def _post(outs):
+        if scalar:
+            return tuple(outs[:-1]) + (outs[-1][0, 0],)
+        return tuple(outs)
+
+    if sharded and scalar_params:
+
+        def call(row_base, params, *arrays):
+            rb = jnp.reshape(row_base, (1,)).astype(jnp.int32)
+            sp = jnp.reshape(jnp.asarray(params, jnp.float32),
+                             (scalar_params,))
+            return _post(fn(*arrays, *const_inputs, rb, sp))
+    elif sharded:
 
         def call(row_base, *arrays):
             rb = jnp.reshape(row_base, (1,)).astype(jnp.int32)
-            outs = fn(*arrays, *const_inputs, rb)
-            if scalar:
-                return tuple(outs[:-1]) + (outs[-1][0, 0],)
-            return tuple(outs)
+            return _post(fn(*arrays, *const_inputs, rb))
+    elif scalar_params:
+
+        def call(params, *arrays):
+            sp = jnp.reshape(jnp.asarray(params, jnp.float32),
+                             (scalar_params,))
+            return _post(fn(*arrays, *const_inputs, sp))
     else:
 
         def call(*arrays):
-            outs = fn(*arrays, *const_inputs)
-            if scalar:
-                return tuple(outs[:-1]) + (outs[-1][0, 0],)
-            return tuple(outs)
+            return _post(fn(*arrays, *const_inputs))
 
     return call, (Hq8, W, slab, T)
 
@@ -375,22 +423,29 @@ def _cavity_bc_quad(u, v, grow, gcol, ny: int, nx: int, lid: float):
 
 
 def make_quad_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
-                               tile_rows: int = 128, interpret: bool = False):
+                               tile_rows: int = 128, interpret: bool = False,
+                               traced_dt: bool = False):
     """(u4, v4) -> (us4, vs4, b4, max|b|): cavity ghost BCs + MAC predictor
     + Poisson source + tolerance base, all in quad layout (the quad twin of
-    kernels.projection.make_predictor_source)."""
+    kernels.projection.make_predictor_source).
+
+    ``traced_dt``: the call gains a leading dt scalar (SMEM) and all
+    dt-derived coefficients stay traced — the adaptive-stepping fast path
+    (round-3 item 5): changing dt never recompiles."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
-    rho_dt = coeffs.density / coeffs.dt
     lid = lid_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         u, v = qins
         slab, W = u[0].shape
+        dt = scalars[0] if traced_dt else None
+        rho_dt = (coeffs.density / dt) if traced_dt \
+            else (coeffs.density / coeffs.dt)
         grow, gcol = _qiota(s, slab, W)
         u, v = _cavity_bc_quad(u, v, grow, gcol, ny, nx, lid)
-        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs, dt=dt)
         us, vs, b = [], [], []
         for q in range(4):
             g, c = grow[q], gcol[q]
@@ -412,25 +467,33 @@ def make_quad_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=2, n_qout=3, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, scalar_reduce="max",
-        vmem_bytes_per_cell=260)
+        vmem_bytes_per_cell=260,
+        scalar_params=1 if traced_dt else 0)
     return call
 
 
 def make_quad_corrector(shape, coeffs, lid_velocity: float = 1.0,
-                        tile_rows: int = 128, interpret: bool = False):
+                        tile_rows: int = 128, interpret: bool = False,
+                        traced_dt: bool = False):
     """(us4, vs4, p4, p_prev4) -> (u4, v4, guess4): rho-multiplied cavity
     projection + ghost BCs rebuilt from the corrected interior (the slim
     convention of kernels.projection.make_corrector) + the next step's
-    extrapolated warm-start guess 2p - p_prev."""
+    extrapolated warm-start guess 2p - p_prev.
+
+    ``traced_dt``: leading traced dt scalar (see make_quad_predictor_source)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / coeffs.dx * coeffs.density
-    cv = coeffs.dt / coeffs.dy * coeffs.density
     lid = lid_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p, p_prev = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] * (coeffs.density / coeffs.dx)
+            cv = scalars[0] * (coeffs.density / coeffs.dy)
+        else:
+            cu = coeffs.dt / coeffs.dx * coeffs.density
+            cv = coeffs.dt / coeffs.dy * coeffs.density
         grow, gcol = _qiota(s, slab, W)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
         u2, v2, guess = [], [], []
@@ -447,7 +510,8 @@ def make_quad_corrector(shape, coeffs, lid_velocity: float = 1.0,
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=3, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, vmem_bytes_per_cell=260)
+        interpret=interpret, halo=8, vmem_bytes_per_cell=260,
+        scalar_params=1 if traced_dt else 0)
     return call
 
 
@@ -728,10 +792,12 @@ def _channel_bc_quad(u, v, grow, gcol, ny: int, nx: int, uin: float):
     return u, v
 
 
-def _predictor_quad(u, v, coeffs):
+def _predictor_quad(u, v, coeffs, dt=None):
     """Shared MAC predictor math over quad planes (cavity-01.cpp:548-603 /
-    channel-01.cpp:546-603, anisotropic)."""
-    nu, dt = coeffs.viscosity, coeffs.dt
+    channel-01.cpp:546-603, anisotropic). ``dt`` optionally overrides the
+    static coefficient with a TRACED scalar (adaptive stepping)."""
+    nu = coeffs.viscosity
+    dt = coeffs.dt if dt is None else dt
     idx, idy = coeffs.idx, coeffs.idy
     idx2, idy2 = coeffs.idx2, coeffs.idy2
     uE, uW = _qshift(u, 0, 1), _qshift(u, 0, -1)

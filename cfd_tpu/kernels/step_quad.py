@@ -102,14 +102,20 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
                                          inlet_velocity: float = 1.0,
                                          tile_rows: int = 128,
                                          interpret: bool = False):
-    """Tentative-state step stage: (us, vs, p, p_prev) ->
-    (us', vs', b', guess, sum_b').
+    """Tentative-state step stage: (us, vs, p) -> (us', vs', b', sum_b').
 
     Channel ordering with the corrector shifted to the start of the next
     step (the quad twin of solver.py's masked channel path): rho-DIVIDED
     projection on VALID faces (invalid -> 0, slim-ghost convention), step
     BCs, masked predictor, step BCs on the tentative fields, fluid-only
-    source + its sum (mean removed by the caller over n_fluid)."""
+    source + its sum (mean removed by the caller over n_fluid).
+
+    No extrapolated-guess output: the step case warm-starts from the plain
+    previous p — MEASURED on TPU at 2048x256, the 2p - p_prev extrapolation
+    RAISES the masked defect-correction cycle count (4.0 -> 5.75 V-cycles/
+    step on the natural path, 6.85 on this quad path) instead of lowering
+    it as it does for the cavity/channel; dropping it also saves one quad
+    field read (p_prev) and one write (guess) per step."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -119,18 +125,17 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
     uin = inlet_velocity
 
     def compute(s, qins, fin, consts):
-        us, vs, p, p_prev = qins
+        us, vs, p = qins
         slab, W = us[0].shape
         grow, gcol = _qiota(s, slab, W)
         fluid, u_valid, v_valid = _step_masks(grow, gcol, ny, nx,
                                               step_i, inlet_j)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
-        u, v, guess = [], [], []
+        u, v = [], []
         for q in range(4):
             zero = jnp.zeros_like(us[q])
             u.append(jnp.where(u_valid[q], us[q] - cu * (pE[q] - p[q]), zero))
             v.append(jnp.where(v_valid[q], vs[q] - cv * (pN[q] - p[q]), zero))
-            guess.append(2.0 * p[q] - p_prev[q])
         u, v = _step_bc_quad(u, v, grow, gcol, ny, nx, step_i, inlet_j, uin)
         us_raw, vs_raw = _predictor_quad(u, v, coeffs)
         us2, vs2 = [], []
@@ -146,21 +151,20 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
         for q in range(4):
             div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
             b.append(jnp.where(fluid[q], rho_dt * div, jnp.zeros_like(div)))
-        return [us2, vs2, b, guess], None, list(b)
+        return [us2, vs2, b], None, list(b)
 
     call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        shape, n_qin=3, n_qout=3, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, scalar_reduce="sum",
-        vmem_bytes_per_cell=500)
+        vmem_bytes_per_cell=420, vmem_headroom=24e6)
     return call
 
 
 def make_quad_step_corrector(shape, coeffs, step_i: int, inlet_j: int,
                              inlet_velocity: float = 1.0,
                              tile_rows: int = 128, interpret: bool = False):
-    """(us4, vs4, p4, p_prev4) -> (u2_4, v2_4, guess4): the stats/export
-    (unalign) corrector — rho-divided projection on valid faces + step BCs
-    + extrapolated guess."""
+    """(us4, vs4, p4) -> (u2_4, v2_4): the stats/export (unalign)
+    corrector — rho-divided projection on valid faces + step BCs."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     cu = coeffs.dt / (coeffs.density * coeffs.dx)
@@ -168,22 +172,21 @@ def make_quad_step_corrector(shape, coeffs, step_i: int, inlet_j: int,
     uin = inlet_velocity
 
     def compute(s, qins, fin, consts):
-        us, vs, p, p_prev = qins
+        us, vs, p = qins
         slab, W = us[0].shape
         grow, gcol = _qiota(s, slab, W)
         _, u_valid, v_valid = _step_masks(grow, gcol, ny, nx, step_i, inlet_j)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
-        u2, v2, guess = [], [], []
+        u2, v2 = [], []
         for q in range(4):
             zero = jnp.zeros_like(us[q])
             u2.append(jnp.where(u_valid[q], us[q] - cu * (pE[q] - p[q]), zero))
             v2.append(jnp.where(v_valid[q], vs[q] - cv * (pN[q] - p[q]), zero))
-            guess.append(2.0 * p[q] - p_prev[q])
         u2, v2 = _step_bc_quad(u2, v2, grow, gcol, ny, nx, step_i, inlet_j, uin)
-        return [u2, v2, guess], None, None
+        return [u2, v2], None, None
 
     call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=3, compute=compute, tile_rows=tile_rows,
+        shape, n_qin=3, n_qout=2, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, vmem_bytes_per_cell=260)
     return call
 
@@ -334,10 +337,13 @@ def make_quad_step_pre_smooth_restrict(shape, step_i: int, inlet_j: int,
     # 3 stages/pair + trailing ghosts + residual's (ghosts + apply) + the
     # restriction roll
     halo = _round_up(3 * n_pairs + 1 + 2 + 1 + 1, 8)
+    # the exact-ghost stages keep more Mosaic stack live than the cavity
+    # smoother (measured 47.73 MiB at a 40 MB budget for the post twin):
+    # size slabs for it and leave a wide hard-limit slack
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_out_shape=coarse_shape,
-        vmem_bytes_per_cell=230)
+        vmem_bytes_per_cell=300, vmem_headroom=24e6)
     return call
 
 
@@ -397,5 +403,5 @@ def make_quad_step_post_prolong_smooth(shape, step_i: int, inlet_j: int,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_in_shape=coarse_shape,
-        scalar_reduce="max", vmem_bytes_per_cell=230)
+        scalar_reduce="max", vmem_bytes_per_cell=300, vmem_headroom=24e6)
     return call

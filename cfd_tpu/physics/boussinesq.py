@@ -151,6 +151,9 @@ def make_rayleigh_benard_case(
     perturbation: float = 1e-2,
     seed: int = 0,
     dtype=jnp.float32,
+    step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
+    layout: str = "auto",  # "auto" | "quad" (f32 kernel path)
+    mg_overrides: dict | None = None,
 ) -> Case:
     """192x64 Ra=1e6 heated-bottom/cooled-top per the reference artifact
     (.MISSING_LARGE_BLOBS:1); final_time in thermal-diffusion units."""
@@ -176,11 +179,12 @@ def make_rayleigh_benard_case(
     if not mg_compatible(nx, ny):
         raise ValueError("rayleigh_benard requires multigrid-compatible nx, ny "
                          "(even, >= 8)")
-    poisson = make_multigrid_poisson(
-        neumann_problem(nx, ny, grid.dx, grid.dy),
-        MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol, pin_mean=True),
-        dtype=dtype, n_interior=nx * ny,
-    )
+    mg = MGConfig(tol_factor=tolerance_factor, abs_tol=abs_tol, pin_mean=True)
+    if mg_overrides:
+        mg = dataclasses.replace(mg, **mg_overrides)
+    problem = neumann_problem(nx, ny, grid.dx, grid.dy)
+    poisson = make_multigrid_poisson(problem, mg, dtype=dtype,
+                                     n_interior=nx * ny)
     vel_bc = box_noslip_bc(grid)
     temp_bc = temperature_bc(grid, params.t_bottom, params.t_top)
     cell = jnp.asarray(grid.cell_mask)
@@ -188,26 +192,123 @@ def make_rayleigh_benard_case(
     v_valid = jnp.asarray(grid.v_valid_mask)
     buoy = 1.0  # free-fall units
 
-    def custom_step(case: Case):
-        from cfd_tpu.ops.stencil import predictor
+    # f32 quad fast path (VERDICT round-2 item 3): the whole per-step
+    # dataflow outside the Poisson solve fused into one tentative-carry
+    # kernel (kernels.rb_quad) + the standard quad V-cycle level 0 with
+    # pure-Neumann mean pinning.
+    use_quad = False
+    align_state = unalign_state = None
+    import jax as _jax
 
-        def step(state: State):
-            u, v, T = state.u, state.v, state.T
-            us, vs = predictor(u, v, coeffs, u_valid, v_valid)
-            # buoyancy on v-faces: T averaged to the face between (j) and (j+1)
-            T_face = 0.5 * (T + _sh(T, 1, 0))
-            vs = jnp.where(v_valid, vs + dt * buoy * T_face, vs)
-            us, vs = vel_bc(us, vs)
-            b = poisson_source(us, vs, coeffs, cell, remove_mean=True, n_cells=nx * ny)
-            p, iters, res = poisson(state.p, b)
-            u2, v2 = pressure_correction(us, vs, p, coeffs, u_valid, v_valid,
-                                         u_else=us, v_else=vs)
-            u2, v2 = vel_bc(u2, v2)
-            T2 = advect_diffuse_scalar(T, u2, v2, coeffs, kappa=kappa, cell_mask=cell)
-            T2 = temp_bc(T2)
-            return State(u2, v2, p, T2), StepDiagnostics(iters, res)
+    dev = _jax.config.jax_default_device
+    platform = dev.platform if dev is not None else _jax.default_backend()
+    interp = step_kernel_mode == "interpret"
+    if (np.dtype(dtype) == np.float32
+            and layout in ("auto", "quad")
+            and (interp or (step_kernel_mode == "auto" and platform == "tpu"))):
+        from cfd_tpu.kernels.quad import (
+            from_quad,
+            make_quad_post_prolong_smooth,
+            make_quad_pre_smooth_restrict,
+            quad_dims,
+            to_quad,
+        )
+        from cfd_tpu.poisson.multigrid import _round_up8_128
 
-        return step
+        coarse_shape = _round_up8_128((ny // 2 + 2, nx // 2 + 2))
+        _, _, Hq8, Wqa = quad_dims(grid.shape)
+        use_quad = coarse_shape == (Hq8, Wqa)
+        if layout == "quad" and not use_quad:
+            raise ValueError(
+                f"quad layout unavailable: coarse shape {coarse_shape} != "
+                f"quad plane shape {(Hq8, Wqa)}")
+    if layout == "quad" and not use_quad:
+        raise ValueError(
+            "layout='quad' requires the f32 kernel path (dtype=float32, "
+            "TPU platform or step_kernel_mode='interpret')")
+
+    if use_quad:
+        from cfd_tpu.kernels.rb_quad import (
+            make_quad_rb_corrector,
+            make_quad_rb_step_kernel,
+            uncorrect_rb_quad,
+        )
+
+        if not (mg_overrides and "post_sweeps" in mg_overrides):
+            mg = dataclasses.replace(mg, post_sweeps=1)
+        quad_l0 = (
+            make_quad_pre_smooth_restrict(
+                grid.shape, problem, mg.omega, mg.pre_sweeps,
+                coarse_shape, interpret=interp),
+            make_quad_post_prolong_smooth(
+                grid.shape, problem, mg.omega, mg.post_sweeps,
+                coarse_shape, interpret=interp),
+        )
+        poisson = make_multigrid_poisson(
+            problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+            pallas_interpret=interp, quad_level0=quad_l0,
+        )
+        fused = make_quad_rb_step_kernel(
+            grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
+            buoyancy=buoy, interpret=interp)
+        corr = make_quad_rb_corrector(grid.shape, coeffs, interpret=interp)
+
+        def custom_step(case: Case):
+            n_cells = nx * ny
+
+            def remove_mean(b, sum_b):
+                q = _jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                jj = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) \
+                    + (q >> 1)
+                ii = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) \
+                    + (q & 1)
+                cm = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+                return jnp.where(cm, b - sum_b / n_cells, b)
+
+            def step(state: State):
+                us2, vs2, T2, b, sum_b = fused(state.u, state.v, state.p,
+                                               state.T)
+                b = remove_mean(b, sum_b)
+                p, iters, res = poisson(state.p, b)
+                return State(us2, vs2, p, T2), StepDiagnostics(iters, res)
+
+            return step
+
+        def align_state(state):
+            us, vs = uncorrect_rb_quad(state.u, state.v, state.p,
+                                       grid.shape, coeffs)
+            t = lambda a: to_quad(a, grid.shape)
+            return State(t(us), t(vs), t(state.p), t(state.T), None)
+
+        def unalign_state(state):
+            u2, v2 = corr(state.u, state.v, state.p)
+            f = lambda a: from_quad(a, grid.shape)
+            return State(f(u2), f(v2), f(state.p), f(state.T), None)
+    else:
+
+        def custom_step(case: Case):
+            from cfd_tpu.ops.stencil import predictor
+
+            def step(state: State):
+                u, v, T = state.u, state.v, state.T
+                us, vs = predictor(u, v, coeffs, u_valid, v_valid)
+                # buoyancy on v-faces: T averaged to the face between
+                # rows (j) and (j+1)
+                T_face = 0.5 * (T + _sh(T, 1, 0))
+                vs = jnp.where(v_valid, vs + dt * buoy * T_face, vs)
+                us, vs = vel_bc(us, vs)
+                b = poisson_source(us, vs, coeffs, cell, remove_mean=True,
+                                   n_cells=nx * ny)
+                p, iters, res = poisson(state.p, b)
+                u2, v2 = pressure_correction(us, vs, p, coeffs, u_valid,
+                                             v_valid, u_else=us, v_else=vs)
+                u2, v2 = vel_bc(u2, v2)
+                T2 = advect_diffuse_scalar(T, u2, v2, coeffs, kappa=kappa,
+                                           cell_mask=cell)
+                T2 = temp_bc(T2)
+                return State(u2, v2, p, T2), StepDiagnostics(iters, res)
+
+            return step
 
     def initial_state_fn() -> State:
         z = jnp.zeros(grid.shape, dtype=dtype)
@@ -220,7 +321,8 @@ def make_rayleigh_benard_case(
         T = jnp.where(cell, (T0 + noise).astype(dtype), z)
         T = temp_bc(T)
         u, v = vel_bc(z, z)
-        return State(u, v, z, T)
+        st = State(u, v, z, T)
+        return align_state(st) if use_quad else st
 
     def extra_stats(state: State):
         return nusselt_numbers(state, grid, params, kappa=kappa)
@@ -252,6 +354,9 @@ def make_rayleigh_benard_case(
                   length=aspect, height=1.0, rayleigh=rayleigh,
                   prandtl=prandtl, cfl=cfl),
         custom_step=custom_step,
+        carry_tentative=use_quad,
+        align_state=align_state,
+        unalign_state=unalign_state,
         extra_stats=extra_stats,
         initial_state_fn=initial_state_fn,
         vtk_extra_fields=vtk_extra_fields,

@@ -473,10 +473,20 @@ def make_multigrid_poisson(
         use_pallas = (np.dtype(dtype) == np.float32
                       and platform == "tpu"
                       and all(lv.separable for lv in levels))
+    # pin_mean composes with the fused-residual (aligned/quad) paths only
+    # for a PURE-Neumann operator: there the constant is exactly the
+    # nullspace, A(p - mean) == A(p) on the interior, and the residual max
+    # fused into the post-smooth kernel stays valid after the mean shift.
+    # (The cavity flavor's eps_s quirk couples row 1 to the zero ghost, so
+    # its residual is NOT shift-invariant — but it never uses pin_mean.)
+    ones_int = _interior_mask(problem.nx, problem.ny).astype(np.float64)
+    pure_neumann = float(np.abs(_apply_np(problem, ones_int)).max()) == 0.0
     if aligned_io:
-        if not use_pallas or exact_level0 is not None or cfg.pin_mean:
+        if (not use_pallas or exact_level0 is not None
+                or (cfg.pin_mean and not pure_neumann)):
             raise ValueError("aligned_io requires the plain Pallas-smoothed "
-                             "separable path")
+                             "separable path (pin_mean only for pure-Neumann"
+                             " problems)")
         # rebuild EVERY level aligned: all transfers and smoothers then run
         # on aligned arrays with no pad/slice layout copies anywhere in the
         # V-cycle (the small-level size increase is negligible)
@@ -502,12 +512,12 @@ def make_multigrid_poisson(
                                       aligned_io=aligned_io)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
-        if exact_level0 is None and quad_level0 is None and not cfg.pin_mean:
+        if exact_level0 is None and quad_level0 is None and (
+                not cfg.pin_mean or pure_neumann):
             # fold the tolerance-check residual into the level-0 post-smooth
             # kernel (saves a full HBM pass + reduce per cycle; with
-            # pin_mean the residual must be taken after the mean shift, so
-            # the fused value would only be valid for exactly-null-space
-            # constants — keep the separate pass there)
+            # pin_mean the fused value is valid exactly when the constant is
+            # the nullspace — the pure_neumann check above)
             pallas_post0_res = rb_pairs_for_level(
                 levels[0], cfg.omega, cfg.post_sweeps, with_residual=True,
                 interpret=pallas_interpret, aligned_io=aligned_io)
@@ -610,6 +620,20 @@ def make_multigrid_poisson(
             out = vcycle(0, p, b)
             if pallas_post0_res is not None or quad_level0 is not None:
                 p, new_res = out
+                if cfg.pin_mean:  # pure-Neumann (checked above): the fused
+                    mean = jnp.sum(p) / n_int  # residual is shift-invariant
+                    if quad_level0 is not None:
+                        q = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+                        jj = 2 * jax.lax.broadcasted_iota(
+                            jnp.int32, p.shape, 1) + (q >> 1)
+                        ii = 2 * jax.lax.broadcasted_iota(
+                            jnp.int32, p.shape, 2) + (q & 1)
+                        cell = ((jj >= 1) & (jj <= problem.ny)
+                                & (ii >= 1) & (ii <= problem.nx))
+                        p = jnp.where(cell, p - mean, p)
+                    else:
+                        ti, _, _ = _inline_masks(top)
+                        p = jnp.where(ti, p - mean, p)
             else:
                 p = out
                 if cfg.pin_mean:

@@ -96,6 +96,12 @@ class Case:
     align_state: Optional[Callable] = None
     unalign_state: Optional[Callable] = None
     custom_step: Optional[Callable] = None
+    # Adaptive-dt fast path (round-3 item 5): a factory-provided builder
+    # returning (step(state, dt) -> (state, diag, courant_per_dt),
+    # to_aligned(logical_state), to_logical(state)) with dt TRACED into the
+    # quad kernels (SMEM scalar) — adaptive.run_adaptive prefers it over
+    # rebuilding the plain XLA step.
+    adaptive_impl: Optional[Callable] = None
     # Banner scalars for io.console.print_banner (the reference
     # printSimulationInfo block, cavity-01.cpp:501-518): reynolds, cfl,
     # omega, length/height, banner_title, ... — display-only.
@@ -163,7 +169,7 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                 return State(us2, vs2, p, state.T, state.p), \
                     StepDiagnostics(iters, res)
 
-        else:  # channel ordering
+        elif extrap:  # channel ordering, extrapolated warm start
 
             def step(state: State) -> tuple[State, StepDiagnostics]:
                 us2, vs2, b, guess, sum_b = fused(
@@ -172,6 +178,18 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                     b = remove_mean_quad(b, sum_b)
                 p, iters, res = case.poisson_solve(guess, b)
                 return State(us2, vs2, p, state.T, state.p), \
+                    StepDiagnostics(iters, res)
+
+        else:  # channel ordering, plain previous-p warm start (the step
+            # case: extrapolation MEASURED to raise the masked
+            # defect-correction cycle count — kernels.step_quad docstring)
+
+            def step(state: State) -> tuple[State, StepDiagnostics]:
+                us2, vs2, b, sum_b = fused(state.u, state.v, state.p)
+                if case.remove_source_mean:
+                    b = remove_mean_quad(b, sum_b)
+                p, iters, res = case.poisson_solve(state.p, b)
+                return State(us2, vs2, p, state.T, None), \
                     StepDiagnostics(iters, res)
 
     elif case.ordering == "cavity" and case.step_kernels is not None:

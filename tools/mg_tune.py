@@ -8,6 +8,11 @@ visible immediately. Usage: python tools/mg_tune.py [N]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import sys
 import time
 
