@@ -92,18 +92,34 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     slab = min(T + 2 * halo, H8)
     n_tiles = -(-H8 // T)  # last tile clamps (overlap writes identical rows)
 
-    we_np = np.zeros(W)
-    we_np[:Wp] = np.asarray(wE)
-    ww_np = np.zeros(W)
-    ww_np[:Wp] = np.asarray(wW)
-    wE_v = jnp.asarray(we_np, jnp.float32).reshape(1, W)
-    wW_v = jnp.asarray(ww_np, jnp.float32).reshape(1, W)
-    wn_np = np.zeros(H8)
-    wn_np[:H] = np.asarray(wN)
-    ws_np = np.zeros(H8)
-    ws_np[:H] = np.asarray(wS)
-    wN_v = jnp.asarray(wn_np, jnp.float32).reshape(H8, 1)
-    wS_v = jnp.asarray(ws_np, jnp.float32).reshape(H8, 1)
+    # FULL (2D) coupling-weight mode for non-separable (masked-geometry)
+    # levels: the four weights are whole (H, W) arrays kept in VMEM and
+    # row-sliced per slab — the masked coarse hierarchy's levels are small
+    # (<= 1/4 of the fine grid), so the extra VMEM is a few MB at most.
+    full_w = np.asarray(wE).ndim == 2
+
+    def _pad2(w):
+        w = np.asarray(w)
+        return np.pad(w, ((0, H8 - w.shape[0]), (0, W - w.shape[1])))
+
+    if full_w:
+        wE_v = jnp.asarray(_pad2(wE), jnp.float32)
+        wW_v = jnp.asarray(_pad2(wW), jnp.float32)
+        wN_v = jnp.asarray(_pad2(wN), jnp.float32)
+        wS_v = jnp.asarray(_pad2(wS), jnp.float32)
+    else:
+        we_np = np.zeros(W)
+        we_np[:Wp] = np.asarray(wE)
+        ww_np = np.zeros(W)
+        ww_np[:Wp] = np.asarray(wW)
+        wE_v = jnp.asarray(we_np, jnp.float32).reshape(1, W)
+        wW_v = jnp.asarray(ww_np, jnp.float32).reshape(1, W)
+        wn_np = np.zeros(H8)
+        wn_np[:H] = np.asarray(wN)
+        ws_np = np.zeros(H8)
+        ws_np[:H] = np.asarray(wS)
+        wN_v = jnp.asarray(wn_np, jnp.float32).reshape(H8, 1)
+        wS_v = jnp.asarray(ws_np, jnp.float32).reshape(H8, 1)
 
     def kernel(p_hbm, b_hbm, we_ref, ww_ref, wn_ref, ws_ref, *out_and_scratch):
         r_hbm = r_s = res_ref = None
@@ -155,11 +171,19 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         interior = (grow >= 1) & (grow <= ny) & (gcol >= 1) & (gcol <= nx)
         even = ((grow + gcol) % 2) == 0
 
-        we = we_ref[:]
-        ww = ww_ref[:]
+        if full_w:
+            we = we_ref[pl.ds(s, slab), :]
+            ww = ww_ref[pl.ds(s, slab), :]
+        else:
+            we = we_ref[:]
+            ww = ww_ref[:]
         wn = wn_ref[pl.ds(s, slab), :]
         ws = ws_ref[pl.ds(s, slab), :]
         denom = idx2 * (we + ww) + idy2 * (wn + ws)
+        if full_w:
+            # fully-decoupled (solid) cells never update and stay 0, the
+            # masked _inline_masks convention (poisson.multigrid)
+            interior = interior & (denom > 0)
         inv = jnp.where(interior, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
         b = b_s[slot]
 
@@ -291,7 +315,17 @@ def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = Fals
     per side) while staying within the 16 MB scoped-VMEM budget for the
     2-in/2-out residual-field variant (4 double-buffered 144-row slabs)."""
     if not level.separable:
-        raise ValueError("pallas rb smoother requires a separable level")
+        # full-weight (masked) mode: the aligned level carries whole 2D
+        # coupling arrays
+        return make_rb_pairs(
+            (level.shape[0], level.shape[1]),
+            np.asarray(level.wE), np.asarray(level.wW),
+            np.asarray(level.wN), np.asarray(level.wS),
+            level.idx2, level.idy2, omega, n_pairs, tile_rows=tile_rows,
+            interpret=interpret, with_residual=with_residual,
+            with_residual_field=with_residual_field, aligned_io=aligned_io,
+            ny=level.ny if level.ny >= 0 else None,
+            nx=level.nx if level.nx >= 0 else None)
     H, W = level.shape
     return make_rb_pairs(
         (H, W),

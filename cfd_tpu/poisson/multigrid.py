@@ -820,15 +820,21 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
         grid.shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.post_sweeps,
         (Hq8, Wqa), interpret=interpret)
 
-    def smooth(level, p, b, n):
-        interior, red, black = _inline_masks(level)
-        inv = _inv_diag(level, interior)
+    # coarse smoothing: fused full-weight (2D) Pallas pairs per level — one
+    # kernel per smoothing block instead of dozens of small whole-array XLA
+    # fusions (the kernels.rb_smoother full_w mode; bitwise-identical to
+    # the XLA masked composition)
+    from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
 
-        def body(_, p):
-            p = _smooth(level, p, b, cfg.omega, red, inv)
-            return _smooth(level, p, b, cfg.omega, black, inv)
-
-        return jax.lax.fori_loop(0, n, body, p)
+    pallas_pre_field = {}
+    pallas_post = {}
+    for k in range(len(levels) - 1):
+        pallas_pre_field[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
+            interpret=interpret, aligned_io=True)
+        pallas_post[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.post_sweeps, interpret=interpret,
+            aligned_io=True)
 
     def coarse_solve(b):
         vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
@@ -840,12 +846,11 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
         level = levels[k]
         if k == len(levels) - 1:
             return coarse_solve(b)
-        p = smooth(level, p, b, cfg.pre_sweeps)
-        r = _residual(level, p, b)
+        p, r = pallas_pre_field[k](p, b)
         rc = _restrict(level, levels[k + 1], r)
         ec = cvcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
         p = p + _prolong(levels[k + 1], level, ec)
-        return smooth(level, p, b, cfg.post_sweeps)
+        return pallas_post[k](p, b)
 
     def solve(p_warm, b, max_b=None):
         dtype_ = b.dtype

@@ -138,3 +138,30 @@ def test_sharded_rejects_indivisible_grid():
     case = make_cavity_case(n_interior=30, final_time=1.0)
     with pytest.raises(ValueError, match="not divisible"):
         ShardedCavity(case, cpu_mesh(8, shape=(4, 2)))  # 30 % 4 != 0
+
+
+def test_gspmd_masked_step_matches_single_device():
+    """Masked geometry (backward-facing step) under GSPMD at the REFERENCE
+    size 256x32 on the 8-device mesh: the solid-mask stencils, masked
+    source mean removal and defect-correction multigrid all partition to
+    the single-device trajectory (VERDICT round-2 item 6 — the one physics
+    flavor with no sharded coverage)."""
+    from cfd_tpu.cases import make_backwards_step_case
+
+    case = make_backwards_step_case(nx=256, ny=32, poisson="multigrid",
+                                    final_time=1.0)
+    mesh = cpu_mesh(8)
+    step = gspmd_step(case, mesh)
+    sim = Simulation(case, log=quiet)
+    st_sharded = sim.initial_state()
+    st = sim.initial_state()
+    for _ in range(5):
+        st_sharded, sd = step(st_sharded)
+        st, rd = sim._step(st)
+        assert int(sd.poisson_iters) == int(rd.poisson_iters)
+    np.testing.assert_allclose(np.asarray(st_sharded.u), np.asarray(st.u),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_sharded.v), np.asarray(st.v),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_sharded.p), np.asarray(st.p),
+                               atol=1e-11)
