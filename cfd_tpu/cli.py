@@ -187,7 +187,8 @@ def main(argv=None) -> int:
         from cfd_tpu.adaptive import run_adaptive
 
         run_adaptive(sim, max_courant=args.adaptive_dt, n_steps=args.steps,
-                     final_time=None if args.steps else case.final_time)
+                     final_time=None if args.steps else case.final_time,
+                     steps_per_call=args.steps_per_call)
     elif args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             sim.run(state=state, n_steps=args.steps, start_step=start_step,

@@ -140,3 +140,24 @@ def test_adaptive_quad_checkpoint_resume(tmp_path):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(st_res.p), np.asarray(st_full.p),
                                atol=2e-4)
+
+
+def test_adaptive_chunked_controller_matches_host_loop():
+    """The device-resident (scan-chunked) Courant controller follows the
+    host-loop controller's dt schedule and trajectory to f32 roundoff."""
+    import jax.numpy as jnp
+
+    kw = dict(n_interior=32, reynolds_number=100.0, final_time=10.0,
+              poisson="multigrid", tolerance_factor=1e-5, print_interval=5,
+              dt=1e-4, dtype=jnp.float32)
+    case = make_cavity_case(step_kernel_mode="interpret", layout="quad", **kw)
+    sim = Simulation(case, log=quiet)
+    st_host, rows_host = run_adaptive(sim, max_courant=0.4, n_steps=20,
+                                      log=quiet)
+    st_dev, rows_dev = run_adaptive(sim, max_courant=0.4, n_steps=20,
+                                    steps_per_call=5, log=quiet)
+    for rh, rd in zip(rows_host, rows_dev):
+        assert abs(rh["dt"] - rd["dt"]) <= 1e-4 * rh["dt"], (rh, rd)
+    inner = np.s_[1:-1, 1:-1]
+    np.testing.assert_allclose(np.asarray(st_dev.u)[inner],
+                               np.asarray(st_host.u)[inner], atol=2e-5)
