@@ -98,6 +98,7 @@ def make_cavity_case(
     step_kernels = None
     align_state = unalign_state = None
     adaptive_builder = None
+    adaptive_carry_builder = None
     use_quad = False
     import numpy as _np
     import jax as _jax
@@ -225,7 +226,53 @@ def make_cavity_case(
 
                 return step, to_aligned, to_logical
 
+            # Lagged-controller adaptive on the SAME tentative-carry fused
+            # kernel as the fixed-dt fast path: (dt_corr, dt_pred) traced
+            # SMEM scalars (the corrector undoes the gradient with the dt
+            # that built the carried tentative fields; the predictor
+            # advances with this step's dt), max|u|/max|v| of the
+            # corrected fields fused into the kernel's scalar reductions —
+            # the Courant feedback is one step stale by construction (see
+            # kernels.quad.make_quad_corr_predictor_source).
+            def adaptive_impl_carry():
+                from cfd_tpu.state import StepDiagnostics
+
+                fused_a = make_quad_corr_predictor_source(
+                    grid.shape, coeffs, lid_velocity, interpret=interp,
+                    traced_dt=True, emit_courant=True)
+                corr_a = make_quad_corrector(
+                    grid.shape, coeffs, lid_velocity, interpret=interp,
+                    traced_dt=True)
+                idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+
+                def step(state, dt_corr, dt_pred):
+                    us2, vs2, b, guess, max_b, mu, mv = fused_a(
+                        (dt_corr, dt_pred), state.u, state.v, state.p,
+                        state.p_prev)
+                    p, iters, res = solve(guess, b, max_b)
+                    co_per_dt = mu * idx_ + mv * idy_
+                    return (State(us2, vs2, p, state.T, state.p),
+                            StepDiagnostics(iters, res), co_per_dt)
+
+                def to_aligned(st, dt):
+                    # carry convention: p_prev slot = previous pressure
+                    us, vs = uncorrect_quad(st.u, st.v, st.p, grid.shape,
+                                            coeffs, cavity_form=True, dt=dt)
+                    t = lambda a: to_quad(a, grid.shape)
+                    p_prev = st.p if st.p_prev is None else st.p_prev
+                    return State(t(us), t(vs), t(st.p), st.T, t(p_prev))
+
+                def to_logical(st, dt_used):
+                    u2, v2, _ = corr_a(dt_used, st.u, st.v, st.p, st.p)
+                    f = lambda a: from_quad(a, grid.shape)
+                    return State(f(u2), f(v2), f(st.p), st.T,
+                                 None if st.p_prev is None
+                                 else f(st.p_prev))
+
+                return step, to_aligned, to_logical
+
             adaptive_builder = adaptive_impl
+            adaptive_carry_builder = adaptive_impl_carry
         else:
             step_kernels = (
                 make_predictor_source(grid.shape, coeffs, lid_velocity,
@@ -275,6 +322,7 @@ def make_cavity_case(
         align_state=align_state,
         unalign_state=unalign_state,
         adaptive_impl=adaptive_builder,
+        adaptive_impl_carry=adaptive_carry_builder,
         name="cavity",
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,

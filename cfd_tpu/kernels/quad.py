@@ -132,7 +132,7 @@ def _where4(conds, vals, planes):
 def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
                            tile_rows: int, interpret: bool, halo: int,
                            flat_in_shape=None, flat_out_shape=None,
-                           scalar_reduce: str | None = None,
+                           scalar_reduce: str | tuple | None = None,
                            const_inputs=(),
                            vmem_bytes_per_cell: int = 110,
                            vmem_headroom: float = 10e6,
@@ -153,9 +153,11 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     VMEM inputs and handed to compute as refs — Mosaic rejects captured
     array constants inside kernel bodies.
 
-    ``scalar_reduce`` ("max" | "sum"): compute's last return is a list of 4
-    (slab, W) plane arrays reduced over each tile's own unique rows into
-    one SMEM scalar.
+    ``scalar_reduce`` ("max" | "sum", or a tuple of them): compute's last
+    return is a list of 4 (slab, W) plane arrays (or, for a tuple, a list
+    of such groups — one per op) reduced over each tile's own unique rows
+    into one SMEM scalar each; the call returns them as trailing scalars
+    in order.
 
     ``scalar_params``: number of traced f32 scalars (e.g. an adaptive dt)
     appended to the call as one (n,) SMEM input; compute then receives them
@@ -175,6 +177,10 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
     own (non-halo) rows and return per-device partials (caller pmax/psums).
     """
     scalar = scalar_reduce is not None
+    s_multi = isinstance(scalar_reduce, tuple)
+    s_ops = (scalar_reduce if s_multi
+             else ((scalar_reduce,) if scalar else ()))
+    n_s = len(s_ops)
     Hq, Wq, Hq8, W = quad_dims(shape)
     sharded = shard is not None
     DEV_HALO = 8
@@ -304,22 +310,28 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
             own = (s + Jl >= jnp.maximum(r0, start)) & (s + Jl < r0 + T)
             if sharded:  # halo rows belong to the neighbor device
                 own = own & (s + Jl >= DEV_HALO) & (s + Jl < DEV_HALO + shard)
-            vals = [jnp.where(own, a, jnp.zeros_like(a)) for a in sarr]
-            if scalar_reduce == "max":
-                tile_val = functools.reduce(jnp.maximum, [jnp.max(a) for a in vals])
-            else:
-                tile_val = sum(jnp.sum(a) for a in vals)
+            groups = sarr if s_multi else [sarr]
+            tile_vals = []
+            for op, grp in zip(s_ops, groups):
+                vals = [jnp.where(own, a, jnp.zeros_like(a)) for a in grp]
+                if op == "max":
+                    tile_vals.append(functools.reduce(
+                        jnp.maximum, [jnp.max(a) for a in vals]))
+                else:
+                    tile_vals.append(sum(jnp.sum(a) for a in vals))
 
             @pl.when(i == 0)
             def _():
-                sref[0, 0] = tile_val
+                for j in range(n_s):
+                    sref[0, j] = tile_vals[j]
 
             @pl.when(i > 0)
             def _():
-                if scalar_reduce == "max":
-                    sref[0, 0] = jnp.maximum(sref[0, 0], tile_val)
-                else:
-                    sref[0, 0] = sref[0, 0] + tile_val
+                for j in range(n_s):
+                    if s_ops[j] == "max":
+                        sref[0, j] = jnp.maximum(sref[0, j], tile_vals[j])
+                    else:
+                        sref[0, j] = sref[0, j] + tile_vals[j]
 
         off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
         copies = []
@@ -353,7 +365,7 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
         out_shape.append(jax.ShapeDtypeStruct(flat_out_shape, jnp.float32))
     if scalar:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((1, n_s), jnp.float32))
     scratch = [pltpu.VMEM((2, 4, slab, W), jnp.float32) for _ in range(n_qin)]
     if has_fin:
         scratch.append(pltpu.VMEM((2, fin_slab, W), jnp.float32))
@@ -375,7 +387,8 @@ def _make_quad_slab_kernel(shape, n_qin: int, n_qout: int, compute,
 
     def _post(outs):
         if scalar:
-            return tuple(outs[:-1]) + (outs[-1][0, 0],)
+            return tuple(outs[:-1]) + tuple(outs[-1][0, j]
+                                            for j in range(n_s))
         return tuple(outs)
 
     if sharded and scalar_params:
@@ -915,7 +928,9 @@ def make_quad_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
 def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
                                     tile_rows: int = 128,
                                     interpret: bool = False,
-                                    shard: tuple[int, int] | None = None):
+                                    shard: tuple[int, int] | None = None,
+                                    traced_dt: bool = False,
+                                    emit_courant: bool = False):
     """Tentative-state cavity step stage: (us, vs, p, p_prev) ->
     (us', vs', b', guess, max|b'|).
 
@@ -928,19 +943,40 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
     make_quad_corrector). ``guess`` = 2 p - p_prev is the next solve's
     extrapolated warm start.
 
+    ``traced_dt``: the call gains a leading (dt_corr, dt_pred) scalar pair
+    (SMEM) — the CARRY structure entangles two time steps: the corrector
+    must undo the pressure gradient with the dt that BUILT the carried
+    tentative fields (dt_corr = the previous step's dt), while the
+    predictor and source advance with this step's dt_pred. Both stay
+    traced, so the adaptive controller never recompiles.
+
+    ``emit_courant``: additionally reduce max|u| and max|v| of the
+    corrected+BC'd fields (they exist only in VMEM here) and return them
+    after max|b'| — the Courant feedback for the lagged adaptive
+    controller (cfd_tpu.adaptive), measured on the state the corrector
+    just produced (one step stale by construction: the global max cannot
+    complete before this same kernel's predictor consumes the fields).
+
     Stencil radius: corrector (1) + ghost BCs (1) + predictor (2) + source
     (1) = 5 rows < halo 8."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
-    cu = coeffs.dt / coeffs.dx * coeffs.density
-    cv = coeffs.dt / coeffs.dy * coeffs.density
-    rho_dt = coeffs.density / coeffs.dt
+    cu_s = coeffs.dt / coeffs.dx * coeffs.density
+    cv_s = coeffs.dt / coeffs.dy * coeffs.density
+    rho_dt_s = coeffs.density / coeffs.dt
     lid = lid_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p, p_prev = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] * (coeffs.density / coeffs.dx)
+            cv = scalars[0] * (coeffs.density / coeffs.dy)
+            dt_pred = scalars[1]
+            rho_dt = coeffs.density / dt_pred
+        else:
+            cu, cv, rho_dt, dt_pred = cu_s, cv_s, rho_dt_s, None
         grow, gcol = _qiota(s, slab, W)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
         u, v, guess = [], [], []
@@ -953,7 +989,7 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
             v.append(jnp.where(v_valid, vs[q] - cv * (pN[q] - p[q]), zero))
             guess.append(2.0 * p[q] - p_prev[q])
         u, v = _cavity_bc_quad(u, v, grow, gcol, ny, nx, lid)
-        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs, dt=dt_pred)
         us2, vs2 = [], []
         for q in range(4):
             g, c = grow[q], gcol[q]
@@ -970,20 +1006,29 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
             cell = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
             div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
             b.append(jnp.where(cell, rho_dt * div, jnp.zeros_like(div)))
-        return [us2, vs2, b, guess], None, [jnp.abs(a) for a in b]
+        if emit_courant:
+            sarr = [[jnp.abs(a) for a in b],
+                    [jnp.abs(a) for a in u],
+                    [jnp.abs(a) for a in v]]
+        else:
+            sarr = [jnp.abs(a) for a in b]
+        return [us2, vs2, b, guess], None, sarr
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, scalar_reduce="max",
+        interpret=interpret, halo=8,
+        scalar_reduce=("max", "max", "max") if emit_courant else "max",
         vmem_bytes_per_cell=390,
-        shard=None if shard is None else shard[0])
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
     return call
 
 
 def make_quad_channel_corr_predictor_source(shape, coeffs,
                                             inlet_velocity: float = 1.0,
                                             tile_rows: int = 128,
-                                            interpret: bool = False):
+                                            interpret: bool = False,
+                                            shard: tuple[int, int] | None = None):
     """Tentative-state channel step stage: (us, vs, p, p_prev) ->
     (us', vs', b', guess, sum_b').
 
@@ -991,7 +1036,8 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
     the start of the next step: rho-DIVIDED projection on valid faces,
     channel BCs on the corrected fields, predictor, channel BCs on the
     tentative fields, raw source + interior sum (mean removed by the
-    caller)."""
+    caller; in the sharded variant the sum is the device's own-row PARTIAL
+    and the caller psums it)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -1038,23 +1084,28 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8, scalar_reduce="sum",
-        vmem_bytes_per_cell=500)
+        vmem_bytes_per_cell=500,
+        shard=None if shard is None else shard[0])
     return call
 
 
-def uncorrect_quad(u, v, p, shape, coeffs, cavity_form: bool):
+def uncorrect_quad(u, v, p, shape, coeffs, cavity_form: bool, dt=None):
     """Inverse of the pressure correction on NATURAL-layout arrays (XLA,
     checkpoint-resume boundary only): us = u + c*(pE - p) on valid faces, 0
     elsewhere — so that correct(uncorrect(u, v, p), p) == (u, v) up to one
-    f32 rounding. Used by the tentative-state carry's align_state."""
+    f32 rounding. Used by the tentative-state carry's align_state.
+
+    ``dt`` overrides ``coeffs.dt`` (adaptive carry resume: any dt round-
+    trips as long as the next kernel call re-corrects with the SAME dt)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
+    dt_ = coeffs.dt if dt is None else dt
     if cavity_form:
-        cu = coeffs.dt / coeffs.dx * coeffs.density
-        cv = coeffs.dt / coeffs.dy * coeffs.density
+        cu = dt_ / coeffs.dx * coeffs.density
+        cv = dt_ / coeffs.dy * coeffs.density
     else:
-        cu = coeffs.dt / (coeffs.density * coeffs.dx)
-        cv = coeffs.dt / (coeffs.density * coeffs.dy)
+        cu = dt_ / (coeffs.density * coeffs.dx)
+        cv = dt_ / (coeffs.density * coeffs.dy)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 1)
     u_valid = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)

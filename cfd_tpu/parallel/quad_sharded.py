@@ -50,6 +50,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P_
 
 from cfd_tpu.kernels.quad import (
     from_quad,
+    make_quad_channel_corr_predictor_source,
+    make_quad_channel_corrector,
     make_quad_corr_predictor_source,
     make_quad_corrector,
     make_quad_post_prolong_smooth,
@@ -119,6 +121,20 @@ def _row_vec_global(w_full: np.ndarray, ny: int, length: int) -> jnp.ndarray:
     src[1 : ny + 1] = w_full[1 : ny + 1, 1]
     v[DEV_HALO : DEV_HALO + src.size] = src
     return jnp.asarray(v, jnp.float32).reshape(length, 1)
+
+
+def _sub_mean_local(b, mean, rb, ny: int, nx: int):
+    """b - mean on interior cells of a local extended quad block (global
+    row index jj = 2*(rb + local_row) + plane parity, so halo rows receive
+    the same treatment as their owning device and stay consistent without
+    an extra refresh; edge-device dead halo rows fall outside 1..ny)."""
+    q = lax.broadcasted_iota(jnp.int32, b.shape, 0)
+    l = lax.broadcasted_iota(jnp.int32, b.shape, 1)
+    i = lax.broadcasted_iota(jnp.int32, b.shape, 2)
+    jj = 2 * (rb + l) + (q >> 1)
+    ii = 2 * i + (q & 1)
+    cell = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    return jnp.where(cell, b - mean, b)
 
 
 def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
@@ -309,8 +325,9 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
     return solve_local
 
 
-class ShardedQuadCavity:
-    """Multi-chip cavity solver on the quad/Pallas fast path.
+class ShardedQuadProjection:
+    """Multi-chip projection solver (cavity or channel flavor) on the
+    quad/Pallas fast path.
 
     State: 4 extended-stacked global arrays (4, mdy*(P+16), Wqa) sharded
     over a 1-D ("dy",) mesh — each device's slice is its local quad block
@@ -318,18 +335,33 @@ class ShardedQuadCavity:
     ``step``/``multi_step`` are jitted shard_map SPMD programs;
     ``logical_state`` gathers and converts to the padded (ny+2, nx+2)
     layout for stats/export (print cadence only).
+
+    Flavor differences (dispatched on ``case.ordering``):
+
+    * cavity — rho-multiplied corrector (cavity-01.cpp:695-711), max|b|
+      fused into the step kernel (pmaxed partials feed the tolerance);
+    * channel — rho-divided corrector + inlet/outlet BCs
+      (channel-01.cpp:513-541, 693-702), source mean removal over the
+      global interior (the kernel's own-row partial sums are psummed, the
+      mean subtracted on globally-indexed cells so halo rows stay
+      consistent without an extra exchange), tolerance base max|b|
+      computed after the removal as on the single-device path.
     """
 
     def __init__(self, case: Case, mesh, interpret: bool = False,
                  axis: str = "dy", tol_factor: float | None = None,
                  mg_overrides: dict | None = None):
-        from cfd_tpu.poisson.multigrid import MGConfig, cavity_problem
+        from cfd_tpu.poisson.multigrid import (MGConfig, cavity_problem,
+                                               channel_problem)
 
         grid = case.grid
-        if grid.has_solids or case.ordering != "cavity":
-            raise ValueError("ShardedQuadCavity covers the cavity flavor")
+        if grid.has_solids or case.ordering not in ("cavity", "channel"):
+            raise ValueError("ShardedQuadProjection covers the cavity and "
+                             "channel flavors on rectangle grids")
         if np.dtype(case.dtype) != np.float32:
             raise ValueError("the quad fast path is float32")
+        flavor = case.ordering
+        self.flavor = flavor
         self.case = case
         self.mesh = mesh
         self.axis = axis
@@ -340,28 +372,48 @@ class ShardedQuadCavity:
         Hq8s, P, W = quad_shard_dims(shape, mdy)
         self.P, self.W, self.Hq8s = P, W, Hq8s
         coeffs = case.coeffs
-        lid = case.info.get("lid_velocity", 1.0) if case.info else 1.0
+        info = case.info or {}
 
         mg = MGConfig(tol_factor=tol_factor if tol_factor is not None
                       else 1e-9, abs_tol=0.0, post_sweeps=1)
         if mg_overrides:
             mg = dataclasses.replace(mg, **mg_overrides)
+        if 2 * (mg.pre_sweeps + mg.post_sweeps) + 1 > DEV_HALO:
+            raise ValueError(
+                f"V({mg.pre_sweeps},{mg.post_sweeps}) consumes "
+                f"{2 * (mg.pre_sweeps + mg.post_sweeps) + 1} halo rows per "
+                f"level-1 solve > the {DEV_HALO}-row device halo")
         self.mg = mg
-        problem = cavity_problem(grid.nx, grid.ny, grid.dx, grid.dy)
-
-        fused = make_quad_corr_predictor_source(
-            shape, coeffs, lid, shard=(P, mdy), interpret=interpret)
+        if flavor == "cavity":
+            self._bc_vel = info.get("lid_velocity", 1.0)
+            problem = cavity_problem(grid.nx, grid.ny, grid.dx, grid.dy)
+            fused = make_quad_corr_predictor_source(
+                shape, coeffs, self._bc_vel, shard=(P, mdy),
+                interpret=interpret)
+        else:
+            self._bc_vel = info.get("inlet_velocity", 1.0)
+            problem = channel_problem(grid.nx, grid.ny, grid.dx, grid.dy)
+            fused = make_quad_channel_corr_predictor_source(
+                shape, coeffs, self._bc_vel, shard=(P, mdy),
+                interpret=interpret)
         solve = make_sharded_quad_solve(problem, mg, shape, mdy,
                                         interpret=interpret, axis=axis)
         rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
         gmax = lambda x: lax.pmax(x, axis)
+        n_fluid = grid.n_fluid
+        ny_i, nx_i = grid.ny, grid.nx
 
         def step_local(us, vs, p, p_prev):
             jy = lax.axis_index(axis)
             rb = jy * P - DEV_HALO
             us2, vs2, b, guess, part = fused(rb, us, vs, p, p_prev)
             us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
-            max_b = gmax(part)
+            if flavor == "cavity":
+                max_b = gmax(part)
+            else:
+                mean = lax.psum(part, axis) / n_fluid
+                b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
+                max_b = gmax(jnp.max(jnp.abs(b)))
             p2, iters, res = solve(guess, b, rb, jy, max_b)
             return us2, vs2, p2, p, iters, res
 
@@ -402,8 +454,10 @@ class ShardedQuadCavity:
         self._to_quad = lambda a: to_quad(a, shape)
         Hq, Wq, Hq8, Wqa = quad_dims(shape)
         self._Hq8 = Hq8
-        self._corr = make_quad_corrector(shape, coeffs, lid,
-                                         interpret=interpret)
+        mk_corr = (make_quad_corrector if flavor == "cavity"
+                   else make_quad_channel_corrector)
+        self._corr = mk_corr(shape, coeffs, self._bc_vel,
+                             interpret=interpret)
         self._coeffs = coeffs
 
     # ---------------- layout conversion (print cadence only) ----------------
@@ -435,7 +489,7 @@ class ShardedQuadCavity:
         s = State.zeros(self.shape, dtype=jnp.float32)
         u, v = case.velocity_bc(s.u, s.v)
         us, vs = uncorrect_quad(u, v, s.p, self.shape, self._coeffs,
-                                cavity_form=True)
+                                cavity_form=self.flavor == "cavity")
         qs = [np.asarray(self._to_quad(a)) for a in (us, vs, s.p, s.p)]
         return tuple(self._put(self._extend(q)) for q in qs)
 
@@ -462,3 +516,8 @@ class ShardedQuadCavity:
                                jnp.asarray(p), jnp.asarray(p))
         f = lambda a: from_quad(jnp.asarray(a), self.shape)
         return State(f(u2), f(v2), f(p), None, f(p_prev))
+
+
+# Back-compat name from before the channel flavor was folded in (round-3):
+# the cavity-flagship tests, dryrun_multichip and docs predate it.
+ShardedQuadCavity = ShardedQuadProjection

@@ -102,6 +102,13 @@ class Case:
     # quad kernels (SMEM scalar) — adaptive.run_adaptive prefers it over
     # rebuilding the plain XLA step.
     adaptive_impl: Optional[Callable] = None
+    # Lagged-controller adaptive builder on the tentative-carry kernels:
+    # () -> (step(st, dt_corr, dt_pred) -> (st, diag, co_per_dt),
+    #        to_aligned(st, dt), to_logical(st, dt_used)) — see
+    # cfd_tpu.adaptive (the Courant feedback is one step stale because the
+    # corrected fields exist only inside the fused kernel that also
+    # consumes them for the next predictor).
+    adaptive_impl_carry: Optional[Callable] = None
     # Banner scalars for io.console.print_banner (the reference
     # printSimulationInfo block, cavity-01.cpp:501-518): reynolds, cfl,
     # omega, length/height, banner_title, ... — display-only.

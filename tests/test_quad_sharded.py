@@ -148,3 +148,57 @@ def test_sharded_quad_stats_match_single_device_p8():
     got = {k: float(v) for k, v in sim._stats(lg.u, lg.v).items()}
     for k in ("max_divergence", "avg_kinetic_energy"):
         assert abs(got[k] - ref[k]) <= 1e-5 * max(1.0, abs(ref[k])), (k, got, ref)
+
+
+@pytest.mark.parametrize("nx,ny,mdy,steps", [
+    (96, 32, 4, 3),
+    pytest.param(768, 256, 8, 2, marks=pytest.mark.slow),
+])
+def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
+    """Channel flavor of the sharded quad fast path == single-device quad
+    channel step (round-3: ShardedQuadProjection): same psummed source
+    mean, same V-cycle counts (±1 for the knife-edge ulp, as the cavity
+    test), trajectories to f32 roundoff."""
+    from cfd_tpu.cases import make_channel_case
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+
+    case = make_channel_case(nx=nx, ny=ny, dtype=jnp.float32,
+                             poisson="multigrid", tolerance_factor=1e-7,
+                             abs_tol=0.0, step_kernel_mode="interpret",
+                             layout="quad", mg_overrides={"post_sweeps": 1})
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    single_iters = []
+    for _ in range(steps):
+        st, d = sim._step(st)
+        single_iters.append(int(d.poisson_iters))
+    ref = sim._logical(st)
+
+    sq = ShardedQuadProjection(case, cpu_mesh_1d(mdy), interpret=True,
+                               tol_factor=1e-7)
+    assert sq.flavor == "channel"
+    state = sq.initial_state()
+    shard_iters = []
+    for _ in range(steps):
+        state, d = sq.step(state)
+        shard_iters.append(int(d["poisson_iters"]))
+    got = sq.logical(state)
+
+    assert all(abs(a - b) <= 1 for a, b in zip(shard_iters, single_iters)), \
+        (shard_iters, single_iters)
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        # p's looser bound is the f32 SOURCE-MEAN roundoff, not sharding:
+        # the startup source sum is ~-6.87e8 (f32 ulp 64), so ANY f32
+        # accumulation order carries >=ulp-scale error (measured at
+        # 768x256: kernel sum -687194944 vs exact f64 -687194728 -> mean
+        # delta 1.1e-3), and with the outlet-Dirichlet operator a mean
+        # shift delta in b shows up in p as the delta*A^-1*1 response
+        # (~delta*L^2/2 = 0.0049 here, peaked at the inlet — exactly the
+        # observed diff, bitwise independent of solver tolerance). The
+        # single-device kernel's per-tile order and the sharded psum order
+        # are just two such roundings; u/v (driven by grad p) hold 2e-5.
+        atol = (3e-4 if name == "p" else 2e-5) * max(
+            1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=name)

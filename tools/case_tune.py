@@ -67,12 +67,27 @@ def main():
         ("V(2,1) mc16", {"min_coarse": 16}),
         ("V(2,2) mc32", {"post_sweeps": 2, "min_coarse": 32}),
     ]
+    if which == "channel":
+        # the channel factory default is V(2,2) (no kernel-path post_sweeps
+        # replacement like cavity's), so sweep explicit values
+        variants = [
+            ("V(2,2) mc4 [current]", {"post_sweeps": 2}),
+            ("V(2,1) mc4", {"post_sweeps": 1}),
+            ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
+            ("V(2,1) mc16", {"post_sweeps": 1, "min_coarse": 16}),
+        ]
     for name, ov in variants:
         if which == "step":
             from cfd_tpu.cases import make_backwards_step_case
 
             case = make_backwards_step_case(
                 nx=2048, ny=256, dtype=jnp.float32, poisson="multigrid",
+                tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
+        elif which == "channel":
+            from cfd_tpu.cases import make_channel_case
+
+            case = make_channel_case(
+                nx=1536, ny=512, dtype=jnp.float32, poisson="multigrid",
                 tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
         else:
             from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
