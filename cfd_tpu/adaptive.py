@@ -18,6 +18,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cfd_tpu.ops.stencil import StencilCoeffs, poisson_source, predictor, pressure_correction
 from cfd_tpu.state import State, StepDiagnostics
@@ -82,7 +83,8 @@ def make_adaptive_step(case) -> Callable:
 def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
                  final_time: float | None = None, dt0: float | None = None,
                  growth: float = 1.2, state: State | None = None,
-                 log=None, steps_per_call: int = 1):
+                 log=None, steps_per_call: int = 1,
+                 controller: str = "exact"):
     """Advance with Courant-limited dt until ``n_steps`` or ``final_time``.
 
     The diffusive stability bound from the case's construction-time dt rule
@@ -97,24 +99,61 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     in the case dtype (f32 on the perf path) instead of host float64, so
     the dt sequence matches the host loop to roundoff, not bitwise.
 
+    ``controller``:
+
+    * "exact" (default) — Courant measured on the state the step just
+      produced feeds the very next dt (the non-carry kernels; corrected
+      fields exist in HBM each step).
+    * "lagged" — the TENTATIVE-CARRY fused kernel (Case.adaptive_impl_carry)
+      with (dt_corr, dt_pred) traced SMEM scalars and max|u|/max|v| fused
+      into its reductions: the corrected fields exist only inside the
+      kernel that also consumes them for the next predictor, so the global
+      Courant maximum cannot gate that same predictor — the feedback is
+      one step stale. This is OpenFOAM's adjustTimeStep semantics (CoNum
+      of the last completed step sets the next dt, reference
+      README.md:112-114) and the fastest path: the step is the SAME fused
+      kernel as the fixed-dt carry. Growth-limiting bounds the transient
+      overshoot of a stale step to the ``growth`` factor.
+
     Checkpoint/resume: when ``sim.checkpointer`` is set, the controller's
-    full dynamical state (State, step, dt, t) is checkpointed — dt and t as
-    extras in the npz — and a latest checkpoint is resumed from exactly
-    (bitwise-identical continuation for the host-loop path; the dt history
-    is what the fixed-dt path never needed, round-1 gap in PARITY.md).
+    full dynamical state (State, step, dt, t — and for "lagged" the dt that
+    built the carried tentative fields) is checkpointed as npz extras and
+    resumed from exactly (bitwise-identical continuation for the host-loop
+    path; the kernel-carry paths re-enter through the logical boundary at
+    one f32 rounding).
     """
     case = sim.case
     log = log if log is not None else sim.log
-    if case.adaptive_impl is not None:
+    if controller not in ("exact", "lagged"):
+        raise ValueError(f"unknown controller: {controller!r}")
+    use_carry = controller == "lagged"
+    to_aligned = to_logical = None
+    if use_carry:
+        if case.adaptive_impl_carry is None:
+            raise ValueError(
+                "controller='lagged' needs Case.adaptive_impl_carry (the "
+                "f32 quad kernel path: layout='quad', poisson='multigrid')")
+        step_impl, to_aligned_c, to_logical_c = case.adaptive_impl_carry()
+        # jitted: the logical-boundary conversion runs a Pallas corrector
+        # op-by-op otherwise (~0.3 s per print row at 2048^2, measured)
+        to_logical_c = jax.jit(to_logical_c)
+    elif case.adaptive_impl is not None:
         # factory-provided traced-dt kernel path (round-3 item 5: the
         # quad/Pallas step with dt as an SMEM scalar — adaptive runs no
         # longer forfeit the fast path)
         step_impl, to_aligned, to_logical = case.adaptive_impl()
         step = jax.jit(step_impl)
+        to_logical = jax.jit(to_logical)  # same print-cadence cost note
+        # as the lagged branch
     else:
+        if case.custom_step is not None and case.adaptive_impl_carry is not None:
+            raise ValueError(
+                f"case {case.name!r} has a custom step with no exact-"
+                "controller adaptive variant; run it with "
+                "controller='lagged' (the tentative-carry fused kernel)")
         step_impl = step = make_adaptive_step(case)
-        to_aligned = to_logical = None
     dt = float(dt0 if dt0 is not None else case.dt)
+    dt_used = dt  # lagged: dt that built the carried tentative fields
     t = 0.0
     k = 0
     if state is None:
@@ -125,6 +164,7 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
         if resumed is not None and "dt" in extras:
             state, k = resumed, k0
             dt, t = extras["dt"], extras["t"]
+            dt_used = extras.get("dt_used", dt)
             log(f"resumed adaptive run at step {k} (t={t:.6g}, dt={dt:.6e})")
         else:
             state = sim.initial_state()
@@ -132,11 +172,93 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     # in the fixed-dt carry layout), then enter the adaptive layout
     if case.unalign_state is not None and state.u.shape != case.grid.shape:
         state = case.unalign_state(state)
-    if to_aligned is not None:
+    if use_carry:
+        # uncorrect with dt_used: the first kernel call re-corrects with
+        # dt_corr = dt_used, so the roundtrip is exact (one f32 rounding)
+        state = to_aligned_c(state, dt_used)
+    elif to_aligned is not None:
         state = to_aligned(state)
+    diffusivity = (case.adaptive_diffusivity
+                   if case.adaptive_diffusivity is not None
+                   else case.coeffs.viscosity)
     dt_ceiling_diffusive = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
-        / max(case.coeffs.viscosity, 1e-300)
+        / max(diffusivity, 1e-300)
     rows = []
+
+    if use_carry:
+        spc = max(1, steps_per_call)
+        if case.print_interval % spc:
+            raise ValueError(f"steps_per_call={spc} must divide "
+                             f"the print interval ({case.print_interval})")
+        ckpt_iv = sim.checkpointer.interval if sim.checkpointer else 0
+        if ckpt_iv and ckpt_iv % spc:
+            raise ValueError(f"steps_per_call={spc} must divide "
+                             f"the checkpoint interval ({ckpt_iv})")
+
+        @jax.jit
+        def chunk_lag(state, du, d, t_dev):
+            def body(carry, _):
+                st, du_, d_, t_ = carry
+                st2, diag, co_per_dt = step_impl(st, du_, d_)
+                # Courant of the step the kernel just CORRECTED (its
+                # fields evolved over du_) — one step stale by design
+                co_prev = du_ * co_per_dt
+                scale = jnp.minimum(growth, max_courant
+                                    / jnp.maximum(co_prev, 1e-12))
+                d2 = jnp.minimum(d_ * scale, dt_ceiling_diffusive)
+                return (st2, d_, d2, t_ + d_), (diag.poisson_iters,
+                                                diag.poisson_residual,
+                                                d_, co_prev)
+
+            (state, du2, d2, t2), (iters, res, dts, cos) = jax.lax.scan(
+                body, (state, du, d, t_dev), None, length=spc)
+            # packed print/checkpoint scalars — fetched at PRINT cadence
+            # only: every device->host scalar sync is a ~15 ms tunnel
+            # roundtrip on this chip, and the controller state (du, d, t)
+            # stays device-resident between chunks
+            packed = jnp.stack([
+                du2.astype(jnp.float32), d2.astype(jnp.float32),
+                t2.astype(jnp.float32),
+                dts[-1].astype(jnp.float32), cos[-1].astype(jnp.float32),
+                iters[-1].astype(jnp.float32),
+                res[-1].astype(jnp.float32)])
+            return state, du2, d2, t2, packed
+
+        du_dev = jnp.asarray(dt_used, case.dtype)
+        d_dev = jnp.asarray(dt, case.dtype)
+        t_dev = jnp.asarray(t, case.dtype)
+        ckpt_iv = sim.checkpointer.interval if sim.checkpointer else 0
+        while True:
+            if n_steps is not None and k >= n_steps:
+                break
+            if final_time is not None and t >= final_time:
+                break
+            state, du_dev, d_dev, t_dev, packed = \
+                chunk_lag(state, du_dev, d_dev, t_dev)
+            k += spc
+            sync = (final_time is not None or k % case.print_interval == 0
+                    or (ckpt_iv and k % ckpt_iv == 0)
+                    or (n_steps is not None and k >= n_steps))
+            if sync:
+                du_h, d_h, t, dt_last, co_last, it_last, res_last = \
+                    map(float, np.asarray(packed))
+                dt_used, dt = du_h, d_h
+            if k % case.print_interval == 0:
+                row = sim.statistics(to_logical_c(state, dt_used))
+                row.update(step=k, time=t, dt=dt_last, courant=co_last,
+                           poisson_iters=int(it_last),
+                           poisson_residual=res_last)
+                rows.append(row)
+                log(f"Step {k:6d} | t={t:8.4f} | dt={dt_last:.3e}"
+                    f" | Co={co_last:.3f}"
+                    f" | max(div)={row['max_divergence']:10.2e}"
+                    f" | avg_KE={row['avg_kinetic_energy']:10.6f}")
+            if ckpt_iv and k % ckpt_iv == 0:
+                sim.checkpointer.maybe_save(
+                    to_logical_c(state, dt_used), k,
+                    extras={"dt": dt, "t": t, "dt_used": dt_used})
+        dt_used = float(du_dev)
+        return to_logical_c(state, dt_used), rows
 
     if steps_per_call > 1:
         if case.print_interval % steps_per_call:
@@ -159,30 +281,36 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
                 return (st, d2), (diag.poisson_iters, diag.poisson_residual,
                                   d, co)
 
-            (state, dt2), hist = jax.lax.scan(
+            (state, dt2), (iters, res, dts, cos) = jax.lax.scan(
                 body, (state, jnp.asarray(dt, case.dtype)), None,
                 length=steps_per_call)
-            return state, dt2, hist
+            # one packed scalar vector per chunk (see the lagged branch)
+            packed = jnp.stack([
+                dt2.astype(jnp.float32), jnp.sum(dts).astype(jnp.float32),
+                dts[-1].astype(jnp.float32), cos[-1].astype(jnp.float32),
+                iters[-1].astype(jnp.float32), res[-1].astype(jnp.float32)])
+            return state, packed
 
         while True:
             if n_steps is not None and k >= n_steps:
                 break
             if final_time is not None and t >= final_time:
                 break
-            state, dt_dev, (iters, res, dts, cos) = chunk(state, dt)
+            state, packed = chunk(state, dt)
             k += steps_per_call
-            t += float(jnp.sum(dts))
-            dt = float(dt_dev)
+            d_h, t_inc, dt_last, co_last, it_last, res_last = \
+                map(float, np.asarray(packed))
+            t += t_inc
+            dt = d_h
             if k % case.print_interval == 0:
                 row = sim.statistics(to_logical(state)
                                      if to_logical is not None else state)
-                co = float(cos[-1])
-                row.update(step=k, time=t, dt=float(dts[-1]), courant=co,
-                           poisson_iters=int(iters[-1]),
-                           poisson_residual=float(res[-1]))
+                row.update(step=k, time=t, dt=dt_last, courant=co_last,
+                           poisson_iters=int(it_last),
+                           poisson_residual=res_last)
                 rows.append(row)
-                log(f"Step {k:6d} | t={t:8.4f} | dt={float(dts[-1]):.3e}"
-                    f" | Co={co:.3f}"
+                log(f"Step {k:6d} | t={t:8.4f} | dt={dt_last:.3e}"
+                    f" | Co={co_last:.3f}"
                     f" | max(div)={row['max_divergence']:10.2e}"
                     f" | avg_KE={row['avg_kinetic_energy']:10.6f}")
             if sim.checkpointer is not None:

@@ -120,6 +120,7 @@ def make_backwards_step_case(
     step_kernels = None
     align_state = unalign_state = None
     use_quad = False
+    adaptive_carry_builder = None
     import numpy as _np
     import jax as _jax
 
@@ -184,6 +185,60 @@ def make_backwards_step_case(
                 u2, v2 = corr(state.u, state.v, state.p)
                 f = lambda a: from_quad(a, grid.shape)
                 return State(f(u2), f(v2), f(state.p), state.T, None)
+
+            # Lagged-controller adaptive on the SAME tentative-carry fused
+            # masked kernel: (dt_corr, dt_pred) traced SMEM pair +
+            # max|u2|/max|v2| Courant partials fused into its reductions
+            # (the cavity/channel adaptive_impl_carry with the step
+            # rectangle's masks; solve warm-starts from plain p as the
+            # fixed-dt path does).
+            def adaptive_impl_carry():
+                from cfd_tpu.state import StepDiagnostics
+
+                fused_a = make_quad_step_corr_predictor_source(
+                    grid.shape, coeffs, step_i_, inlet_j_, inlet_velocity,
+                    interpret=interp, traced_dt=True, emit_courant=True)
+                corr_a = make_quad_step_corrector(
+                    grid.shape, coeffs, step_i_, inlet_j_, inlet_velocity,
+                    interpret=interp, traced_dt=True)
+                idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+                n_fl = grid.n_fluid
+                ny_, nx_ = grid.ny, grid.nx
+
+                def remove_mean(b, sum_b):
+                    q = _jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                    jj = 2 * _jax.lax.broadcasted_iota(
+                        jnp.int32, b.shape, 1) + (q >> 1)
+                    ii = 2 * _jax.lax.broadcasted_iota(
+                        jnp.int32, b.shape, 2) + (q & 1)
+                    cm = ((jj >= 1) & (jj <= ny_) & (ii >= 1) & (ii <= nx_)
+                          & ~((ii <= step_i_) & (jj > inlet_j_)))
+                    return jnp.where(cm, b - sum_b / n_fl, b)
+
+                def step(state, dt_corr, dt_pred):
+                    us2, vs2, b, sum_b, mu, mv = fused_a(
+                        (dt_corr, dt_pred), state.u, state.v, state.p)
+                    b = remove_mean(b, sum_b)
+                    p, iters, res = solve(state.p, b)
+                    co_per_dt = mu * idx_ + mv * idy_
+                    return (State(us2, vs2, p, state.T, None),
+                            StepDiagnostics(iters, res), co_per_dt)
+
+                def to_aligned(st, dt):
+                    us, vs = uncorrect_step_quad(st.u, st.v, st.p,
+                                                 grid.shape, coeffs,
+                                                 step_i_, inlet_j_, dt=dt)
+                    t = lambda a: to_quad(a, grid.shape)
+                    return State(t(us), t(vs), t(st.p), st.T, None)
+
+                def to_logical(st, dt_used):
+                    u2, v2 = corr_a(dt_used, st.u, st.v, st.p)
+                    f = lambda a: from_quad(a, grid.shape)
+                    return State(f(u2), f(v2), f(st.p), st.T, None)
+
+                return step, to_aligned, to_logical
+
+            adaptive_carry_builder = adaptive_impl_carry
     if layout != "auto" and step_kernels is None:
         raise ValueError(
             f"layout={layout!r} requires the f32 multigrid kernel path "
@@ -196,6 +251,7 @@ def make_backwards_step_case(
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
+        adaptive_impl_carry=adaptive_carry_builder,
         # Plain previous-p warm start (the channel ordering's default,
         # channel-01.cpp:636): the 2p - p_prev EXTRAPOLATION was tried per
         # the round-2 verdict (item 2a) and MEASURED to hurt this case on
@@ -222,5 +278,8 @@ def make_backwards_step_case(
                   length=length, height=height_total,
                   step_height=height_total - height_inlet,
                   step_location=step_location, reynolds=reynolds_number,
-                  cfl=cfl, omega=omega),
+                  cfl=cfl, omega=omega,
+                  # for parallel.quad_sharded's backwards_step flavor
+                  # (banner_lines ignores unknown keys)
+                  inlet_velocity=inlet_velocity),
     )

@@ -92,6 +92,7 @@ def make_channel_case(
     step_kernels = None
     align_state = unalign_state = None
     use_quad = False
+    adaptive_carry_builder = None
     import numpy as _np
     import jax as _jax
 
@@ -171,6 +172,59 @@ def make_channel_case(
                 f = lambda a: from_quad(a, grid.shape)
                 return State(f(u2), f(v2), f(state.p), state.T,
                              None if state.p_prev is None else f(state.p_prev))
+
+            # Lagged-controller adaptive on the SAME tentative-carry fused
+            # kernel (the cavity factory's adaptive_impl_carry with the
+            # channel ordering: rho-divided corrector, source mean removal
+            # before the solve, no fused tolerance base).
+            def adaptive_impl_carry():
+                from cfd_tpu.state import StepDiagnostics
+
+                fused_a = make_quad_channel_corr_predictor_source(
+                    grid.shape, coeffs, inlet_velocity, interpret=interp,
+                    traced_dt=True, emit_courant=True)
+                corr_a = make_quad_channel_corrector(
+                    grid.shape, coeffs, inlet_velocity, interpret=interp,
+                    traced_dt=True)
+                idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+                n_cells = nx * ny
+
+                def remove_mean(b, sum_b):
+                    q = _jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+                    jj = 2 * _jax.lax.broadcasted_iota(
+                        jnp.int32, b.shape, 1) + (q >> 1)
+                    ii = 2 * _jax.lax.broadcasted_iota(
+                        jnp.int32, b.shape, 2) + (q & 1)
+                    cm = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+                    return jnp.where(cm, b - sum_b / n_cells, b)
+
+                def step(state, dt_corr, dt_pred):
+                    us2, vs2, b, guess, sum_b, mu, mv = fused_a(
+                        (dt_corr, dt_pred), state.u, state.v, state.p,
+                        state.p_prev)
+                    b = remove_mean(b, sum_b)
+                    p, iters, res = solve(guess, b)
+                    co_per_dt = mu * idx_ + mv * idy_
+                    return (State(us2, vs2, p, state.T, state.p),
+                            StepDiagnostics(iters, res), co_per_dt)
+
+                def to_aligned(st, dt):
+                    us, vs = uncorrect_quad(st.u, st.v, st.p, grid.shape,
+                                            coeffs, cavity_form=False, dt=dt)
+                    t = lambda a: to_quad(a, grid.shape)
+                    p_prev = st.p if st.p_prev is None else st.p_prev
+                    return State(t(us), t(vs), t(st.p), st.T, t(p_prev))
+
+                def to_logical(st, dt_used):
+                    u2, v2, _ = corr_a(dt_used, st.u, st.v, st.p, st.p)
+                    f = lambda a: from_quad(a, grid.shape)
+                    return State(f(u2), f(v2), f(st.p), st.T,
+                                 None if st.p_prev is None
+                                 else f(st.p_prev))
+
+                return step, to_aligned, to_logical
+
+            adaptive_carry_builder = adaptive_impl_carry
         else:
             from cfd_tpu.kernels.projection import (
                 make_channel_corrector, make_channel_predictor_source)
@@ -219,6 +273,7 @@ def make_channel_case(
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
+        adaptive_impl_carry=adaptive_carry_builder,
         extrapolate_warm_start=(poisson == "multigrid"),
         grid=grid,
         coeffs=coeffs,

@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "this max Courant number (the OpenFOAM-workflow "
                              "adjustTimeStep/maxCo knob, reference "
                              "README.md:112-114); disables checkpointing")
+        sp.add_argument("--adaptive-controller", choices=["exact", "lagged"],
+                        default="exact",
+                        help="Courant feedback: 'exact' measures the step "
+                             "just produced; 'lagged' runs the tentative-"
+                             "carry fused kernel (fixed-dt speed, one-step-"
+                             "stale feedback = OpenFOAM adjustTimeStep "
+                             "semantics; f32 quad multigrid cases only)")
         sp.add_argument("--steps-per-call", type=int, default=1,
                         help="advance N steps per device dispatch (lax.scan); "
                              "must divide print/save intervals")
@@ -188,7 +195,8 @@ def main(argv=None) -> int:
 
         run_adaptive(sim, max_courant=args.adaptive_dt, n_steps=args.steps,
                      final_time=None if args.steps else case.final_time,
-                     steps_per_call=args.steps_per_call)
+                     steps_per_call=args.steps_per_call,
+                     controller=args.adaptive_controller)
     elif args.profile_dir:
         with jax.profiler.trace(args.profile_dir):
             sim.run(state=state, n_steps=args.steps, start_step=start_step,

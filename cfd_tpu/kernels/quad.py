@@ -891,20 +891,29 @@ def make_quad_channel_predictor_source(shape, coeffs,
 
 def make_quad_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
                                 tile_rows: int = 128,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                traced_dt: bool = False):
     """(us4, vs4, p4, p_prev4) -> (u2_4, v2_4, guess4): rho-DIVIDED
     projection (channel-01.cpp:693-702) on valid faces (invalid -> 0, the
     slim-ghost convention), channel BCs on the corrected fields, plus the
-    extrapolated warm-start guess."""
+    extrapolated warm-start guess.
+
+    ``traced_dt``: leading traced dt scalar (the dt that built the carried
+    tentative fields — see make_quad_corrector)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
     uin = inlet_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p, p_prev = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+        else:
+            cu, cv = cu_s, cv_s
         grow, gcol = _qiota(s, slab, W)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
         u2, v2, guess = [], [], []
@@ -921,7 +930,8 @@ def make_quad_channel_corrector(shape, coeffs, inlet_velocity: float = 1.0,
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=3, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, vmem_bytes_per_cell=260)
+        interpret=interpret, halo=8, vmem_bytes_per_cell=260,
+        scalar_params=1 if traced_dt else 0)
     return call
 
 
@@ -1028,7 +1038,9 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
                                             inlet_velocity: float = 1.0,
                                             tile_rows: int = 128,
                                             interpret: bool = False,
-                                            shard: tuple[int, int] | None = None):
+                                            shard: tuple[int, int] | None = None,
+                                            traced_dt: bool = False,
+                                            emit_courant: bool = False):
     """Tentative-state channel step stage: (us, vs, p, p_prev) ->
     (us', vs', b', guess, sum_b').
 
@@ -1037,18 +1049,30 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
     channel BCs on the corrected fields, predictor, channel BCs on the
     tentative fields, raw source + interior sum (mean removed by the
     caller; in the sharded variant the sum is the device's own-row PARTIAL
-    and the caller psums it)."""
+    and the caller psums it).
+
+    ``traced_dt``/``emit_courant``: the lagged-adaptive contract of
+    make_quad_corr_predictor_source — a leading (dt_corr, dt_pred) SMEM
+    scalar pair, and max|u2|/max|v2| of the corrected+BC'd fields appended
+    after sum_b'."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
-    rho_dt = coeffs.density / coeffs.dt
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
+    rho_dt_s = coeffs.density / coeffs.dt
     uin = inlet_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p, p_prev = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+            dt_pred = scalars[1]
+            rho_dt = coeffs.density / dt_pred
+        else:
+            cu, cv, rho_dt, dt_pred = cu_s, cv_s, rho_dt_s, None
         grow, gcol = _qiota(s, slab, W)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
         u, v, guess = [], [], []
@@ -1061,7 +1085,7 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
             v.append(jnp.where(v_valid, vs[q] - cv * (pN[q] - p[q]), zero))
             guess.append(2.0 * p[q] - p_prev[q])
         u, v = _channel_bc_quad(u, v, grow, gcol, ny, nx, uin)
-        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs, dt=dt_pred)
         us2, vs2 = [], []
         for q in range(4):
             g, c = grow[q], gcol[q]
@@ -1079,13 +1103,21 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
             cell = (g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
             div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
             b.append(jnp.where(cell, rho_dt * div, jnp.zeros_like(div)))
-        return [us2, vs2, b, guess], None, list(b)
+        if emit_courant:
+            sarr = [list(b),
+                    [jnp.abs(a) for a in u],
+                    [jnp.abs(a) for a in v]]
+        else:
+            sarr = list(b)
+        return [us2, vs2, b, guess], None, sarr
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, scalar_reduce="sum",
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
         vmem_bytes_per_cell=500,
-        shard=None if shard is None else shard[0])
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
     return call
 
 

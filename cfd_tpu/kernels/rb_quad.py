@@ -81,21 +81,51 @@ def _temperature_bc_quad(T, grow, gcol, ny: int, nx: int,
 def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
                              t_bottom: float = 1.0, t_top: float = 0.0,
                              buoyancy: float = 1.0,
-                             tile_rows: int = 128, interpret: bool = False):
+                             tile_rows: int = 128, interpret: bool = False,
+                             traced_dt: bool = False,
+                             emit_courant: bool = False,
+                             shard: tuple[int, int] | None = None):
     """(us, vs, p, T) -> (us', vs', T', b, sum_b): the fused tentative-carry
-    RB stage (see module docstring)."""
+    RB stage (see module docstring).
+
+    ``traced_dt``: the call gains a leading (dt_corr, dt_pred) SMEM scalar
+    pair. The carry entangles two steps: the corrector AND the T transport
+    belong to the step that built the carried tentative fields (they
+    complete step n with dt_corr = that step's dt), while the predictor,
+    buoyancy and Poisson source advance step n+1 with dt_pred. Both stay
+    traced, so the adaptive controller never recompiles.
+
+    ``emit_courant``: additionally reduce max|u2| / max|v2| of the
+    corrected+BC'd fields (they exist only in VMEM here) and return them
+    after sum_b — the one-step-stale Courant feedback for the lagged
+    adaptive controller (cfd_tpu.adaptive), same contract as
+    kernels.quad.make_quad_corr_predictor_source.
+
+    ``shard``: (P, mdy) for the SPMD variant — local (4, P+16, W) blocks
+    with a leading traced ``row_base`` SMEM scalar, exactly the
+    kernels.quad sharded contract (scalar reductions become own-row
+    per-device partials the caller psums/pmaxes)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
     idx2, idy2 = coeffs.idx2, coeffs.idy2
-    dt = coeffs.dt
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
-    rho_dt = coeffs.density / coeffs.dt
+    dt_s = coeffs.dt
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
+    rho_dt_s = coeffs.density / coeffs.dt
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p, T = qins
         slab, W = us[0].shape
+        if traced_dt:
+            dt = scalars[0]  # completes step n: corrector + T transport
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+            dt_pred = scalars[1]  # advances step n+1
+            rho_dt = coeffs.density / dt_pred
+        else:
+            dt, cu, cv, rho_dt = dt_s, cu_s, cv_s, rho_dt_s
+            dt_pred = None
         grow, gcol = _qiota(s, slab, W)
         u_valid, v_valid, cell = [], [], []
         for g, c in zip(grow, gcol):
@@ -128,12 +158,14 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
         T2 = _temperature_bc_quad(T2, grow, gcol, ny, nx, t_bottom, t_top)
 
         # predictor + buoyancy on v-faces + BC on the tentative fields
-        us_raw, vs_raw = _predictor_quad(u2, v2, coeffs)
+        # (step n+1: dt_pred when traced)
+        bdt = dt_pred if traced_dt else dt_s
+        us_raw, vs_raw = _predictor_quad(u2, v2, coeffs, dt=dt_pred)
         T2N = _qshift(T2, 1, 0)
         us2, vs2 = [], []
         for q in range(4):
             us2.append(jnp.where(u_valid[q], us_raw[q], u2[q]))
-            buoy_q = vs_raw[q] + dt * buoyancy * 0.5 * (T2[q] + T2N[q])
+            buoy_q = vs_raw[q] + bdt * buoyancy * 0.5 * (T2[q] + T2N[q])
             vs2.append(jnp.where(v_valid[q], buoy_q, v2[q]))
         us2, vs2 = _box_noslip_bc_quad(us2, vs2, grow, gcol, ny, nx)
 
@@ -143,27 +175,43 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
         for q in range(4):
             div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
             b.append(jnp.where(cell[q], rho_dt * div, jnp.zeros_like(div)))
-        return [us2, vs2, T2, b], None, list(b)
+        if emit_courant:
+            sarr = [list(b),
+                    [jnp.abs(a) for a in u2],
+                    [jnp.abs(a) for a in v2]]
+        else:
+            sarr = list(b)
+        return [us2, vs2, T2, b], None, sarr
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, scalar_reduce="sum",
-        vmem_bytes_per_cell=550, vmem_headroom=24e6)
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
+        vmem_bytes_per_cell=550, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
     return call
 
 
 def make_quad_rb_corrector(shape, coeffs, tile_rows: int = 128,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           traced_dt: bool = False):
     """(us4, vs4, p4) -> (u2_4, v2_4): the stats/export (unalign) corrector
-    with the u_else=us convention + box no-slip BC."""
+    with the u_else=us convention + box no-slip BC. ``traced_dt``: leading
+    dt SMEM scalar (the dt that built the carried tentative fields)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+        else:
+            cu, cv = cu_s, cv_s
         grow, gcol = _qiota(s, slab, W)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
         u2, v2 = [], []
@@ -178,19 +226,22 @@ def make_quad_rb_corrector(shape, coeffs, tile_rows: int = 128,
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=3, n_qout=2, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, vmem_bytes_per_cell=260)
+        interpret=interpret, halo=8, vmem_bytes_per_cell=260,
+        scalar_params=1 if traced_dt else 0)
     return call
 
 
-def uncorrect_rb_quad(u, v, p, shape, coeffs):
+def uncorrect_rb_quad(u, v, p, shape, coeffs, dt=None):
     """Inverse correction on NATURAL-layout arrays (resume boundary):
     us = u + c*(pE - p) on valid faces, u elsewhere (the u_else=us
     convention's inverse), so corr(uncorrect(u, v, p), p) == (u, v) up to
-    one f32 rounding."""
+    one f32 rounding. ``dt`` overrides the baked coeffs.dt (adaptive
+    resume: the dt that built the carried tentative fields)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    dt = coeffs.dt if dt is None else dt
+    cu = dt / (coeffs.density * coeffs.dx)
+    cv = dt / (coeffs.density * coeffs.dy)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 1)
     u_valid = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)

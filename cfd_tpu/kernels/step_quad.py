@@ -101,7 +101,10 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
                                          inlet_j: int,
                                          inlet_velocity: float = 1.0,
                                          tile_rows: int = 128,
-                                         interpret: bool = False):
+                                         interpret: bool = False,
+                                         traced_dt: bool = False,
+                                         emit_courant: bool = False,
+                                         shard: tuple[int, int] | None = None):
     """Tentative-state step stage: (us, vs, p) -> (us', vs', b', sum_b').
 
     Channel ordering with the corrector shifted to the start of the next
@@ -115,18 +118,34 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
     RAISES the masked defect-correction cycle count (4.0 -> 5.75 V-cycles/
     step on the natural path, 6.85 on this quad path) instead of lowering
     it as it does for the cavity/channel; dropping it also saves one quad
-    field read (p_prev) and one write (guess) per step."""
+    field read (p_prev) and one write (guess) per step.
+
+    ``traced_dt``/``emit_courant``: the lagged-adaptive contract of
+    kernels.quad.make_quad_corr_predictor_source — a leading
+    (dt_corr, dt_pred) SMEM scalar pair, and max|u2|/max|v2| of the
+    corrected+BC'd fields appended after sum_b'.
+
+    ``shard``: (P, mdy) for the SPMD variant (the kernels.quad sharded
+    contract: local (4, P+16, W) blocks, leading traced row_base scalar,
+    own-row partial reductions)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
-    rho_dt = coeffs.density / coeffs.dt
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
+    rho_dt_s = coeffs.density / coeffs.dt
     uin = inlet_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+            dt_pred = scalars[1]
+            rho_dt = coeffs.density / dt_pred
+        else:
+            cu, cv, rho_dt, dt_pred = cu_s, cv_s, rho_dt_s, None
         grow, gcol = _qiota(s, slab, W)
         fluid, u_valid, v_valid = _step_masks(grow, gcol, ny, nx,
                                               step_i, inlet_j)
@@ -137,7 +156,7 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
             u.append(jnp.where(u_valid[q], us[q] - cu * (pE[q] - p[q]), zero))
             v.append(jnp.where(v_valid[q], vs[q] - cv * (pN[q] - p[q]), zero))
         u, v = _step_bc_quad(u, v, grow, gcol, ny, nx, step_i, inlet_j, uin)
-        us_raw, vs_raw = _predictor_quad(u, v, coeffs)
+        us_raw, vs_raw = _predictor_quad(u, v, coeffs, dt=dt_pred)
         us2, vs2 = [], []
         for q in range(4):
             zero = jnp.zeros_like(u[q])
@@ -151,29 +170,46 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
         for q in range(4):
             div = (us2[q] - usW[q]) * idx + (vs2[q] - vsS[q]) * idy
             b.append(jnp.where(fluid[q], rho_dt * div, jnp.zeros_like(div)))
-        return [us2, vs2, b], None, list(b)
+        if emit_courant:
+            sarr = [list(b),
+                    [jnp.abs(a) for a in u],
+                    [jnp.abs(a) for a in v]]
+        else:
+            sarr = list(b)
+        return [us2, vs2, b], None, sarr
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=3, n_qout=3, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, scalar_reduce="sum",
-        vmem_bytes_per_cell=420, vmem_headroom=24e6)
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
+        vmem_bytes_per_cell=420, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
     return call
 
 
 def make_quad_step_corrector(shape, coeffs, step_i: int, inlet_j: int,
                              inlet_velocity: float = 1.0,
-                             tile_rows: int = 128, interpret: bool = False):
+                             tile_rows: int = 128, interpret: bool = False,
+                             traced_dt: bool = False):
     """(us4, vs4, p4) -> (u2_4, v2_4): the stats/export (unalign)
-    corrector — rho-divided projection on valid faces + step BCs."""
+    corrector — rho-divided projection on valid faces + step BCs.
+    ``traced_dt``: leading dt SMEM scalar (the dt that built the carried
+    tentative fields)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    cu_s = coeffs.dt / (coeffs.density * coeffs.dx)
+    cv_s = coeffs.dt / (coeffs.density * coeffs.dy)
     uin = inlet_velocity
 
-    def compute(s, qins, fin, consts):
+    def compute(s, qins, fin, consts, scalars=None):
         us, vs, p = qins
         slab, W = us[0].shape
+        if traced_dt:
+            cu = scalars[0] / (coeffs.density * coeffs.dx)
+            cv = scalars[0] / (coeffs.density * coeffs.dy)
+        else:
+            cu, cv = cu_s, cv_s
         grow, gcol = _qiota(s, slab, W)
         _, u_valid, v_valid = _step_masks(grow, gcol, ny, nx, step_i, inlet_j)
         pE, pN = _qshift(p, 0, 1), _qshift(p, 1, 0)
@@ -187,19 +223,23 @@ def make_quad_step_corrector(shape, coeffs, step_i: int, inlet_j: int,
 
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=3, n_qout=2, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8, vmem_bytes_per_cell=260)
+        interpret=interpret, halo=8, vmem_bytes_per_cell=260,
+        scalar_params=1 if traced_dt else 0)
     return call
 
 
-def uncorrect_step_quad(u, v, p, shape, coeffs, step_i: int, inlet_j: int):
-    """Inverse of the masked pressure correction on NATURAL-layout arrays
+def uncorrect_step_quad(u, v, p, shape, coeffs, step_i: int, inlet_j: int,
+                        dt=None):
+    """Inverse of the masked pressure correction on NATURAL-LAYOUT arrays
     (checkpoint/resume boundary only): us = u + c*(pE - p) on VALID faces,
     0 elsewhere, so corr(uncorrect(u, v, p), p) == (u, v) up to one f32
-    rounding (the masked twin of kernels.quad.uncorrect_quad)."""
+    rounding (the masked twin of kernels.quad.uncorrect_quad). ``dt``
+    overrides coeffs.dt (adaptive carry resume)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
-    cu = coeffs.dt / (coeffs.density * coeffs.dx)
-    cv = coeffs.dt / (coeffs.density * coeffs.dy)
+    dt = coeffs.dt if dt is None else dt
+    cu = dt / (coeffs.density * coeffs.dx)
+    cv = dt / (coeffs.density * coeffs.dy)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (H, Wp), 1)
     u_valid = ((jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)
@@ -303,16 +343,31 @@ def make_quad_step_pre_smooth_restrict(shape, step_i: int, inlet_j: int,
                                        omega: float, n_pairs: int,
                                        coarse_shape: tuple[int, int],
                                        tile_rows: int = 128,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       shard: tuple[int, int] | None = None):
     """(p4, b4) -> (p4, rc): n_pairs exact masked iterations + the exact
     residual restricted (full-weighting) to the aligned coarse source — the
     masked V-cycle's pre block in one HBM round trip (the quad twin of
-    kernels.step_smoother with_residual_field + poisson.multigrid._restrict)."""
+    kernels.step_smoother with_residual_field + poisson.multigrid._restrict).
+
+    ``shard``: (P, mdy) for the SPMD variant; coarse_shape is then the
+    LOCAL (P+16, Wqa). The exact masked smoother consumes 3 rows per pair
+    (ghost stage + red + black) + residual ghosts, so only n_pairs=1 fits
+    the 8-row device halo — V(1,1) is the sharded masked maximum."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
     Hq, Wq, Hq8, Wqa = quad_dims(shape)
-    assert coarse_shape == (Hq8, Wqa), (coarse_shape, (Hq8, Wqa))
+    if shard is not None:
+        if n_pairs > 1:
+            raise ValueError(
+                f"sharded masked pre-smoother: n_pairs={n_pairs} consumes "
+                f"{3 * n_pairs + 5} rows > the 8-row device halo (V(1,1) "
+                "only)")
+        expect = (shard[0] + 16, Wqa)
+    else:
+        expect = (Hq8, Wqa)
+    assert coarse_shape == expect, (coarse_shape, expect)
 
     def compute(s, qins, fin, consts):
         p, b = qins
@@ -343,7 +398,8 @@ def make_quad_step_pre_smooth_restrict(shape, step_i: int, inlet_j: int,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_out_shape=coarse_shape,
-        vmem_bytes_per_cell=300, vmem_headroom=24e6)
+        vmem_bytes_per_cell=300, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0])
     return call
 
 
@@ -352,16 +408,29 @@ def make_quad_step_post_prolong_smooth(shape, step_i: int, inlet_j: int,
                                        omega: float, n_pairs: int,
                                        coarse_shape: tuple[int, int],
                                        tile_rows: int = 128,
-                                       interpret: bool = False):
+                                       interpret: bool = False,
+                                       shard: tuple[int, int] | None = None):
     """(p4, b4, ec) -> (p4, res_inf): bilinear prolongation of the coarse
     correction (added on FLUID cells — the masked level's
     _inline_masks-equivalent) fused with the exact post iterations and the
-    tolerance residual max."""
+    tolerance residual max.
+
+    ``shard``: (P, mdy) for the SPMD variant; coarse_shape is then the
+    LOCAL (P+16, Wqa) and n_pairs must be 1 (see the pre twin)."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
     Hq, Wq, Hq8, Wqa = quad_dims(shape)
-    assert coarse_shape == (Hq8, Wqa), (coarse_shape, (Hq8, Wqa))
+    if shard is not None:
+        if n_pairs > 1:
+            raise ValueError(
+                f"sharded masked post-smoother: n_pairs={n_pairs} consumes "
+                f"{1 + 3 * n_pairs + 4} rows > the 8-row device halo "
+                "(V(1,1) only)")
+        expect = (shard[0] + 16, Wqa)
+    else:
+        expect = (Hq8, Wqa)
+    assert coarse_shape == expect, (coarse_shape, expect)
 
     def compute(s, qins, ec, consts):
         p, b = qins
@@ -403,5 +472,6 @@ def make_quad_step_post_prolong_smooth(shape, step_i: int, inlet_j: int,
     call, _ = _make_quad_slab_kernel(
         shape, n_qin=2, n_qout=1, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=halo, flat_in_shape=coarse_shape,
-        scalar_reduce="max", vmem_bytes_per_cell=300, vmem_headroom=24e6)
+        scalar_reduce="max", vmem_bytes_per_cell=300, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0])
     return call

@@ -198,6 +198,7 @@ def make_rayleigh_benard_case(
     # pure-Neumann mean pinning.
     use_quad = False
     align_state = unalign_state = None
+    adaptive_carry_builder = None
     import jax as _jax
 
     dev = _jax.config.jax_default_device
@@ -252,19 +253,18 @@ def make_rayleigh_benard_case(
             grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
             buoyancy=buoy, interpret=interp)
         corr = make_quad_rb_corrector(grid.shape, coeffs, interpret=interp)
+        n_cells = nx * ny
+
+        def remove_mean(b, sum_b):
+            q = _jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
+            jj = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) \
+                + (q >> 1)
+            ii = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) \
+                + (q & 1)
+            cm = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+            return jnp.where(cm, b - sum_b / n_cells, b)
 
         def custom_step(case: Case):
-            n_cells = nx * ny
-
-            def remove_mean(b, sum_b):
-                q = _jax.lax.broadcasted_iota(jnp.int32, b.shape, 0)
-                jj = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 1) \
-                    + (q >> 1)
-                ii = 2 * _jax.lax.broadcasted_iota(jnp.int32, b.shape, 2) \
-                    + (q & 1)
-                cm = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
-                return jnp.where(cm, b - sum_b / n_cells, b)
-
             def step(state: State):
                 us2, vs2, T2, b, sum_b = fused(state.u, state.v, state.p,
                                                state.T)
@@ -284,6 +284,47 @@ def make_rayleigh_benard_case(
             u2, v2 = corr(state.u, state.v, state.p)
             f = lambda a: from_quad(a, grid.shape)
             return State(f(u2), f(v2), f(state.p), f(state.T), None)
+
+        # Lagged-controller adaptive on the SAME fused RB carry kernel:
+        # (dt_corr, dt_pred) traced SMEM pair (the corrector + T transport
+        # complete the step that built the carry with dt_corr; predictor/
+        # buoyancy/source advance with dt_pred), max|u2|/max|v2| fused into
+        # the kernel's scalar reductions — RB's first adaptive path
+        # (round-2 VERDICT item 5: "an RB adaptive variant becomes
+        # possible"; OpenFOAM adjustTimeStep semantics, reference
+        # README.md:112-114).
+        def adaptive_impl_carry():
+            fused_a = make_quad_rb_step_kernel(
+                grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
+                buoyancy=buoy, interpret=interp, traced_dt=True,
+                emit_courant=True)
+            corr_a = make_quad_rb_corrector(grid.shape, coeffs,
+                                            interpret=interp, traced_dt=True)
+            idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+
+            def step(state: State, dt_corr, dt_pred):
+                us2, vs2, T2, b, sum_b, mu, mv = fused_a(
+                    (dt_corr, dt_pred), state.u, state.v, state.p, state.T)
+                b = remove_mean(b, sum_b)
+                p, iters, res = poisson(state.p, b)
+                co_per_dt = mu * idx_ + mv * idy_
+                return (State(us2, vs2, p, T2),
+                        StepDiagnostics(iters, res), co_per_dt)
+
+            def to_aligned(st: State, dt):
+                us, vs = uncorrect_rb_quad(st.u, st.v, st.p, grid.shape,
+                                           coeffs, dt=dt)
+                t = lambda a: to_quad(a, grid.shape)
+                return State(t(us), t(vs), t(st.p), t(st.T), None)
+
+            def to_logical(st: State, dt_used):
+                u2, v2 = corr_a(dt_used, st.u, st.v, st.p)
+                f = lambda a: from_quad(a, grid.shape)
+                return State(f(u2), f(v2), f(st.p), f(st.T), None)
+
+            return step, to_aligned, to_logical
+
+        adaptive_carry_builder = adaptive_impl_carry
     else:
 
         def custom_step(case: Case):
@@ -352,11 +393,17 @@ def make_rayleigh_benard_case(
         vtk_title="Rayleigh-Benard Convection Data",
         info=dict(banner_title="Rayleigh-Benard Convection Simulation",
                   length=aspect, height=1.0, rayleigh=rayleigh,
-                  prandtl=prandtl, cfl=cfl),
+                  prandtl=prandtl, cfl=cfl,
+                  # physics scalars for parallel.quad_sharded's RB flavor
+                  # (banner_lines ignores unknown keys)
+                  kappa=kappa, t_bottom=params.t_bottom,
+                  t_top=params.t_top),
         custom_step=custom_step,
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
+        adaptive_impl_carry=adaptive_carry_builder,
+        adaptive_diffusivity=max(nu, kappa),
         extra_stats=extra_stats,
         initial_state_fn=initial_state_fn,
         vtk_extra_fields=vtk_extra_fields,

@@ -24,6 +24,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cfd_tpu.bc import VelocityBC
 from cfd_tpu.grid import Grid
@@ -109,6 +110,11 @@ class Case:
     # corrected fields exist only inside the fused kernel that also
     # consumes them for the next predictor).
     adaptive_impl_carry: Optional[Callable] = None
+    # Diffusivity for the adaptive controller's stability ceiling
+    # dt <= 0.25 h^2 / D: defaults to coeffs.viscosity; cases transporting
+    # additional diffusive scalars set the binding one (Rayleigh-Benard:
+    # max(nu, kappa) — kappa binds at Pr < 1).
+    adaptive_diffusivity: Optional[float] = None
     # Banner scalars for io.console.print_banner (the reference
     # printSimulationInfo block, cavity-01.cpp:501-518): reynolds, cfl,
     # omega, length/height, banner_title, ... — display-only.
@@ -301,6 +307,12 @@ class Simulation:
             )
         )
         self._extra_stats = jax.jit(case.extra_stats) if case.extra_stats else None
+        # jitted unalign: the carried-layout -> logical conversion runs a
+        # Pallas corrector + layout ops — op-by-op dispatch costs ~0.3 s
+        # per call at 2048^2 (measured), turning every print/export row
+        # into the dominant cost of a 100-step chunk; jitted it is ~ms
+        self._unalign = (jax.jit(case.unalign_state)
+                         if case.unalign_state is not None else None)
         self._multi_cache: dict[int, Callable] = {}
         self.history: list[dict] = []
         self.checkpointer = None  # io.checkpoint.CheckpointManager or None
@@ -323,17 +335,23 @@ class Simulation:
     def _logical(self, state: State) -> State:
         """State in the logical (ny+2, nx+2) layout for stats/export/
         checkpoint (identity unless the case carries an aligned state)."""
-        if (self.case.unalign_state is not None
+        if (self._unalign is not None
                 and state.u.shape != self.case.grid.shape):
-            return self.case.unalign_state(state)
+            return self._unalign(state)
         return state
 
     def statistics(self, state: State) -> dict[str, float]:
         state = self._logical(state)
-        row = {k: float(x) for k, x in self._stats(state.u, state.v).items()}
+        vals = self._stats(state.u, state.v)
         if self._extra_stats is not None:
-            row.update({k: float(x) for k, x in self._extra_stats(state).items()})
-        return row
+            vals.update(self._extra_stats(state))
+        # ONE device->host transfer for the whole row: per-scalar float()
+        # costs a ~15 ms tunnel roundtrip each on this chip (measured —
+        # the stats row was 0.08 s, dominating a 100-step print chunk)
+        keys = list(vals)
+        flat = np.asarray(jnp.stack([jnp.asarray(vals[k], jnp.float32)
+                                     for k in keys]))
+        return dict(zip(keys, map(float, flat)))
 
     def _multi_step(self, spc: int):
         """jitted scan of ``spc`` steps per dispatch (amortizes host->device

@@ -161,3 +161,276 @@ def test_adaptive_chunked_controller_matches_host_loop():
     inner = np.s_[1:-1, 1:-1]
     np.testing.assert_allclose(np.asarray(st_dev.u)[inner],
                                np.asarray(st_host.u)[inner], atol=2e-5)
+
+
+def test_adaptive_lagged_controller_matches_exact_band():
+    """The lagged controller (tentative-carry fused kernel, one-step-stale
+    Courant feedback = OpenFOAM adjustTimeStep semantics) tracks the exact
+    controller's dt schedule within the growth band and lands on a nearby
+    trajectory; Co stays at/below target after the transient."""
+    import jax.numpy as jnp
+
+    kw = dict(n_interior=32, reynolds_number=100.0, final_time=10.0,
+              poisson="multigrid", tolerance_factor=1e-5, print_interval=5,
+              dt=1e-4, dtype=jnp.float32)
+    case = make_cavity_case(step_kernel_mode="interpret", layout="quad", **kw)
+    assert case.adaptive_impl_carry is not None
+    sim = Simulation(case, log=quiet)
+    st_ex, rows_ex = run_adaptive(sim, max_courant=0.4, n_steps=30, log=quiet)
+    st_lag, rows_lag = run_adaptive(sim, max_courant=0.4, n_steps=30,
+                                    controller="lagged", steps_per_call=5,
+                                    log=quiet)
+    assert st_lag.u.shape == case.grid.shape
+    # dt schedules: the lag delays each feedback by one growth-limited
+    # update, so during the startup ramp the lagged dt can run ahead by up
+    # to ~growth while the exact controller is already braking (observed
+    # ratio 1.21 at the first print row); 1.5x bounds the band with slack
+    for re_, rl in zip(rows_ex, rows_lag):
+        assert rl["dt"] <= re_["dt"] * 1.5, (re_, rl)
+        assert rl["dt"] >= re_["dt"] / 1.5, (re_, rl)
+    # Courant respected after the startup transient (stale feedback may
+    # overshoot by at most ~the growth factor for one step)
+    assert all(r["courant"] <= 0.4 * 1.25 for r in rows_lag[2:]), rows_lag
+    inner = np.s_[1:-1, 1:-1]
+    np.testing.assert_allclose(np.asarray(st_lag.u)[inner],
+                               np.asarray(st_ex.u)[inner], atol=5e-3)
+
+
+def test_adaptive_lagged_checkpoint_resume(tmp_path):
+    """Lagged-controller checkpoint/resume: (State, step, dt, t, dt_used)
+    persisted; resumed continuation stays on the trajectory (one f32
+    rounding at the uncorrect/correct boundary, same contract as the
+    fixed-dt carry)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.io.checkpoint import CheckpointManager
+
+    kw = dict(n_interior=32, reynolds_number=100.0, final_time=10.0,
+              poisson="multigrid", tolerance_factor=1e-5, print_interval=5,
+              dt=1e-4, dtype=jnp.float32)
+    case = make_cavity_case(step_kernel_mode="interpret", layout="quad", **kw)
+    sim = Simulation(case, log=quiet)
+    st_full, rows_full = run_adaptive(sim, max_courant=0.4, n_steps=10,
+                                      controller="lagged", steps_per_call=5,
+                                      log=quiet)
+
+    sim2 = Simulation(case, log=quiet)
+    sim2.checkpointer = CheckpointManager(tmp_path, interval=5)
+    run_adaptive(sim2, max_courant=0.4, n_steps=5, controller="lagged",
+                 steps_per_call=5, log=quiet)
+    sim3 = Simulation(case, log=quiet)
+    sim3.checkpointer = CheckpointManager(tmp_path, interval=5)
+    st_res, _ = run_adaptive(sim3, max_courant=0.4, n_steps=10,
+                             controller="lagged", steps_per_call=5,
+                             log=quiet)
+    np.testing.assert_allclose(np.asarray(st_res.u), np.asarray(st_full.u),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(st_res.p), np.asarray(st_full.p),
+                               atol=2e-4)
+
+
+RB_KW = dict(nx=48, ny=16, rayleigh=1e5, dtype=None,  # dtype set below
+             tolerance_factor=1e-5, abs_tol=1e-7, print_interval=3)
+
+
+def _rb_quad_case():
+    import jax.numpy as jnp
+
+    from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+    kw = dict(RB_KW, dtype=jnp.float32)
+    return make_rayleigh_benard_case(step_kernel_mode="interpret",
+                                     layout="quad", **kw)
+
+
+def test_adaptive_rb_exact_controller_raises():
+    """RB has a custom step: the exact controller refuses with a message
+    pointing at the lagged one."""
+    import pytest
+
+    case = _rb_quad_case()
+    sim = Simulation(case, log=quiet)
+    with pytest.raises(ValueError, match="lagged"):
+        run_adaptive(sim, max_courant=0.4, n_steps=3, log=quiet)
+
+
+def test_adaptive_rb_lagged_fixed_dt_equivalence():
+    """With growth=1 and a huge Courant target the lagged RB controller
+    never changes dt — its trajectory must match the fixed-dt fused-carry
+    path to f32 roundoff (same kernel, dt merely traced)."""
+    case = _rb_quad_case()
+    sim = Simulation(case, log=quiet)
+    st_fixed = sim.initial_state()
+    for _ in range(6):
+        st_fixed, _ = sim._step(st_fixed)
+    lf = sim._logical(st_fixed)
+
+    st_ad, _ = run_adaptive(sim, max_courant=1e6, n_steps=6, growth=1.0,
+                            controller="lagged", steps_per_call=3, log=quiet)
+    assert st_ad.u.shape == case.grid.shape
+    for name in ("u", "v", "p", "T"):
+        a = np.asarray(getattr(lf, name))
+        b = np.asarray(getattr(st_ad, name))
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * scale,
+                                   err_msg=name)
+
+
+def test_adaptive_rb_lagged_grows_to_diffusive_ceiling():
+    """RB startup has near-zero velocity: the lagged controller grows dt
+    by the growth factor per step until the diffusive stability ceiling
+    (0.25 h^2 / max(nu, kappa) — kappa binds at Pr < 1) caps it; the run
+    stays finite and T stays within the wall band."""
+    case = _rb_quad_case()
+    assert case.adaptive_diffusivity is not None
+    h = min(case.coeffs.dx, case.coeffs.dy)
+    ceiling = 0.25 * h * h / case.adaptive_diffusivity
+    sim = Simulation(case, log=quiet)
+    st, rows = run_adaptive(sim, max_courant=0.4, n_steps=30,
+                            controller="lagged", steps_per_call=3,
+                            dt0=case.dt * 0.25, log=quiet)
+    dts = [r["dt"] for r in rows]
+    assert dts[-1] > dts[0]
+    assert all(r["dt"] <= ceiling * (1 + 1e-6) for r in rows), rows
+    assert all(r["courant"] <= 0.4 * 1.25 for r in rows[2:]), rows
+    assert np.isfinite(np.asarray(st.u)).all()
+    Ti = np.asarray(st.T)[1:-1, 1:-1]
+    assert Ti.min() >= -0.25 and Ti.max() <= 1.25
+
+
+def test_adaptive_channel_lagged_fixed_dt_equivalence():
+    """Channel lagged controller with growth=1 and a huge Courant target
+    == the fixed-dt tentative-carry channel path to f32 roundoff (same
+    fused kernel, dt merely traced; guess = 2p - p_prev preserved)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.cases import make_channel_case
+
+    case = make_channel_case(nx=96, ny=32, dtype=jnp.float32,
+                             poisson="multigrid", tolerance_factor=1e-6,
+                             step_kernel_mode="interpret", layout="quad",
+                             print_interval=3)
+    assert case.adaptive_impl_carry is not None
+    sim = Simulation(case, log=quiet)
+    st_fixed = sim.initial_state()
+    for _ in range(6):
+        st_fixed, _ = sim._step(st_fixed)
+    lf = sim._logical(st_fixed)
+
+    st_ad, _ = run_adaptive(sim, max_courant=1e6, n_steps=6, growth=1.0,
+                            controller="lagged", steps_per_call=3, log=quiet)
+    assert st_ad.u.shape == case.grid.shape
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(lf, name))
+        b = np.asarray(getattr(st_ad, name))
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * scale,
+                                   err_msg=name)
+
+
+def test_adaptive_channel_lagged_courant_respected():
+    """Channel lagged adaptive from a small dt0: dt grows, Courant settles
+    at/below target (one-step-stale feedback overshoot bounded by the
+    growth factor), trajectory stays finite."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.cases import make_channel_case
+
+    case = make_channel_case(nx=96, ny=32, dtype=jnp.float32,
+                             poisson="multigrid", tolerance_factor=1e-6,
+                             step_kernel_mode="interpret", layout="quad",
+                             print_interval=3)
+    sim = Simulation(case, log=quiet)
+    st, rows = run_adaptive(sim, max_courant=0.4, n_steps=18,
+                            controller="lagged", steps_per_call=3,
+                            dt0=case.dt * 0.2, log=quiet)
+    dts = [r["dt"] for r in rows]
+    assert dts[-1] > dts[0]
+    assert all(r["courant"] <= 0.4 * 1.25 for r in rows[2:]), rows
+    assert np.isfinite(np.asarray(st.u)).all()
+
+
+def test_adaptive_step_lagged_fixed_dt_equivalence():
+    """Backwards-step lagged controller with growth=1 and a huge Courant
+    target == the fixed-dt tentative-carry masked path to f32 roundoff
+    (same fused masked kernel + masked defect-correction MG, plain-p warm
+    start preserved)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+
+    case = make_backwards_step_case(nx=64, ny=16, dtype=jnp.float32,
+                                    poisson="multigrid",
+                                    tolerance_factor=1e-5,
+                                    smoother_mode="interpret", layout="quad",
+                                    print_interval=3)
+    assert case.adaptive_impl_carry is not None
+    sim = Simulation(case, log=quiet)
+    st_fixed = sim.initial_state()
+    for _ in range(6):
+        st_fixed, _ = sim._step(st_fixed)
+    lf = sim._logical(st_fixed)
+
+    st_ad, _ = run_adaptive(sim, max_courant=1e6, n_steps=6, growth=1.0,
+                            controller="lagged", steps_per_call=3, log=quiet)
+    assert st_ad.u.shape == case.grid.shape
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(lf, name))
+        b = np.asarray(getattr(st_ad, name))
+        scale = max(1.0, float(np.abs(a).max()))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-4 * scale,
+                                   err_msg=name)
+
+
+def test_adaptive_step_lagged_courant_respected():
+    """Backwards-step lagged adaptive from a small dt0: dt grows toward
+    the Courant/diffusive bound and the solid region stays untouched
+    (masked kernels; u inside the solid block is exactly zero)."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+    from cfd_tpu.poisson.multigrid import step_rect_params
+
+    case = make_backwards_step_case(nx=64, ny=16, dtype=jnp.float32,
+                                    poisson="multigrid",
+                                    tolerance_factor=1e-5,
+                                    smoother_mode="interpret", layout="quad",
+                                    print_interval=3)
+    sim = Simulation(case, log=quiet)
+    st, rows = run_adaptive(sim, max_courant=0.4, n_steps=12,
+                            controller="lagged", steps_per_call=3,
+                            dt0=case.dt * 0.2, log=quiet)
+    dts = [r["dt"] for r in rows]
+    assert dts[-1] > dts[0]
+    assert all(r["courant"] <= 0.4 * 1.25 for r in rows[2:]), rows
+    assert np.isfinite(np.asarray(st.u)).all()
+    step_i, inlet_j = step_rect_params(case.grid)
+    u = np.asarray(st.u)
+    # solid interior u-faces (both neighbor cells solid) are exactly zero
+    assert np.all(u[inlet_j + 1:-1, 1:step_i] == 0.0)
+
+
+def test_adaptive_rb_lagged_checkpoint_resume(tmp_path):
+    """Lagged RB checkpoint/resume stays on the trajectory (T included in
+    the persisted state; one f32 rounding at the uncorrect boundary)."""
+    from cfd_tpu.io.checkpoint import CheckpointManager
+
+    case = _rb_quad_case()
+    sim = Simulation(case, log=quiet)
+    st_full, _ = run_adaptive(sim, max_courant=0.4, n_steps=12,
+                              controller="lagged", steps_per_call=3,
+                              log=quiet)
+
+    sim2 = Simulation(case, log=quiet)
+    sim2.checkpointer = CheckpointManager(tmp_path, interval=6)
+    run_adaptive(sim2, max_courant=0.4, n_steps=6, controller="lagged",
+                 steps_per_call=3, log=quiet)
+    sim3 = Simulation(case, log=quiet)
+    sim3.checkpointer = CheckpointManager(tmp_path, interval=6)
+    st_res, _ = run_adaptive(sim3, max_courant=0.4, n_steps=12,
+                             controller="lagged", steps_per_call=3,
+                             log=quiet)
+    for name in ("u", "v", "p", "T"):
+        np.testing.assert_allclose(np.asarray(getattr(st_res, name)),
+                                   np.asarray(getattr(st_full, name)),
+                                   rtol=0, atol=5e-4, err_msg=name)
