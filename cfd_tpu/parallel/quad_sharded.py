@@ -123,30 +123,44 @@ def _row_vec_global(w_full: np.ndarray, ny: int, length: int) -> jnp.ndarray:
     return jnp.asarray(v, jnp.float32).reshape(length, 1)
 
 
-def _sub_mean_local(b, mean, rb, ny: int, nx: int):
+def _sub_mean_local(b, mean, rb, ny: int, nx: int,
+                    step_rect: tuple[int, int] | None = None):
     """b - mean on interior cells of a local extended quad block (global
     row index jj = 2*(rb + local_row) + plane parity, so halo rows receive
     the same treatment as their owning device and stay consistent without
-    an extra refresh; edge-device dead halo rows fall outside 1..ny)."""
+    an extra refresh; edge-device dead halo rows fall outside 1..ny).
+    ``step_rect`` = (step_i, inlet_j): exclude the backward-step solid
+    rectangle (fluid-only mean, backwards_step-01.cpp:843-865)."""
     q = lax.broadcasted_iota(jnp.int32, b.shape, 0)
     l = lax.broadcasted_iota(jnp.int32, b.shape, 1)
     i = lax.broadcasted_iota(jnp.int32, b.shape, 2)
     jj = 2 * (rb + l) + (q >> 1)
     ii = 2 * i + (q & 1)
     cell = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    if step_rect is not None:
+        step_i, inlet_j = step_rect
+        cell = cell & ~((ii <= step_i) & (jj > inlet_j))
     return jnp.where(cell, b - mean, b)
 
 
 def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
                             shape: tuple[int, int], mdy: int,
-                            interpret: bool = False, axis: str = "dy"):
+                            interpret: bool = False, axis: str = "dy",
+                            pin_mean: bool = False):
     """Build solve_local(guess, b, rb, jy, max_b) for use inside a
     shard_map body over an ``axis``-sized-``mdy`` mesh axis.
 
     ``guess``/``b`` are local extended quad blocks (4, P+16, Wqa) with
     FRESH halos; ``rb`` = jy*P - DEV_HALO (traced); ``max_b`` the global
     max|b| (already pmaxed). Returns (p, cycles, residual_inf) with p's
-    halos fresh and replicated scalars."""
+    halos fresh and replicated scalars.
+
+    ``pin_mean``: pure-Neumann flavor (Rayleigh-Benard) — subtract the
+    global interior mean of p after every V-cycle (psummed own-row
+    partials; the subtraction is globally indexed so halo rows stay
+    consistent, and the fused residual stays valid because the constant
+    is exactly the nullspace — same argument as the single-device path,
+    poisson.multigrid make_multigrid_poisson)."""
     Hq8s, P, W = quad_shard_dims(shape, mdy)
     dtype = jnp.float32
     loc = (P + 2 * DEV_HALO, W)
@@ -295,6 +309,11 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
         return e  # own rows exact; halos stale by k (caller refreshes)
 
     rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+    n_int_fine = problem.nx * problem.ny
+    ny_f, nx_f = problem.ny, problem.nx
+    own_rows = ((lax.broadcasted_iota(jnp.int32, (4,) + loc, 1) >= DEV_HALO)
+                & (lax.broadcasted_iota(jnp.int32, (4,) + loc, 1)
+                   < DEV_HALO + P))
 
     def solve_local(guess, b, rb, jy, max_b):
         dtype_ = b.dtype
@@ -314,6 +333,147 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
             ec = l1_solve(rc, jy)
             ec = rr(ec)
             p, part = post_quad(rb, p, b, ec)
+            p = rr(p)
+            if pin_mean:
+                mean = lax.psum(
+                    jnp.sum(jnp.where(own_rows, p, 0.0)), axis) / n_int_fine
+                p = _sub_mean_local(p, mean.astype(dtype_), rb, ny_f, nx_f)
+            return p, gmax(part).astype(dtype_), res, it + 1
+
+        big = jnp.asarray(1e30, dtype_)
+        init = (guess, big / 2, big, jnp.asarray(0, jnp.int32))
+        p, res, _, iters = lax.while_loop(cond, body, init)
+        return p, iters, res
+
+    return solve_local
+
+
+def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
+                                   shape: tuple[int, int], mdy: int,
+                                   interpret: bool = False,
+                                   axis: str = "dy"):
+    """Sharded variant of poisson.multigrid.make_masked_quad_multigrid_
+    poisson (the backward-step defect-correction solver): the quad exact
+    masked fine level (kernels.step_quad pre/post) runs SPMD on local
+    blocks; the non-separable full-2D-weight coarse hierarchy runs
+    REPLICATED on every device from an all_gathered level-1 source (the
+    coarse-switch pattern one level earlier than the separable solve —
+    the 2D-weight levels have no separable row/column split to band-smooth
+    within the halo budget, and at the target sizes the whole hierarchy
+    below the fine level is < 1/3 of the cells).
+
+    V(1,1) only: the exact masked smoother consumes 3 rows per pair (ghost
+    stage + red + black planes), so one pair + the residual/restriction
+    fills the 8-row device halo exactly (the kernel factories enforce it).
+
+    Returns solve_local(guess, b, rb, jy, max_b) with the
+    make_sharded_quad_solve contract."""
+    from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
+    from cfd_tpu.kernels.step_quad import (
+        make_quad_step_post_prolong_smooth,
+        make_quad_step_pre_smooth_restrict,
+    )
+
+    rect = M.step_rect_params(grid)
+    if rect is None:
+        raise ValueError("sharded masked multigrid requires the reference's "
+                         "step rectangle raster")
+    step_i, inlet_j = rect
+    if cfg.pre_sweeps != 1 or cfg.post_sweeps != 1:
+        raise ValueError(
+            f"sharded masked step multigrid runs V(1,1) only, got "
+            f"V({cfg.pre_sweeps},{cfg.post_sweeps}) (the exact masked "
+            "smoother consumes 3 rows/pair of the 8-row device halo)")
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+    dtype = jnp.float32
+    Hq8s, P, W = quad_shard_dims(shape, mdy)
+    loc = (P + 2 * DEV_HALO, W)
+
+    probs = [M.masked_channel_problem(grid, coeffs.dx, coeffs.dy)]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse
+           and probs[-1].ny / 2 >= cfg.min_coarse):
+        probs.append(M.coarsen_problem(probs[-1]))
+    if len(probs) < 2:
+        raise ValueError("grid too small for the sharded masked hierarchy")
+    levels = [M._build_level(p, dtype, aligned=True, allow_full=True)
+              for p in probs[1:]]
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    if levels[0].shape != (Hq8, Wqa):
+        raise ValueError(f"aligned coarse shape {levels[0].shape} != quad "
+                         f"plane shape {(Hq8, Wqa)}")
+    pinv = jnp.asarray(M._dense_pinv(probs[-1]), dtype)
+    bot = levels[-1]
+    bot_ny, bot_nx = bot.ny, bot.nx
+
+    pre = make_quad_step_pre_smooth_restrict(
+        shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.pre_sweeps,
+        loc, shard=(P, mdy), interpret=interpret)
+    post = make_quad_step_post_prolong_smooth(
+        shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.post_sweeps,
+        loc, shard=(P, mdy), interpret=interpret)
+
+    pallas_pre_field = {}
+    pallas_post = {}
+    for k in range(len(levels) - 1):
+        pallas_pre_field[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
+            interpret=interpret, aligned_io=True)
+        pallas_post[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.post_sweeps, interpret=interpret,
+            aligned_io=True)
+
+    def coarse_solve(b):
+        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
+        e = (pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
+        out = jnp.zeros(bot.shape, dtype=b.dtype)
+        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
+
+    def cvcycle(k, p, b):
+        level = levels[k]
+        if k == len(levels) - 1:
+            return coarse_solve(b)
+        p, r = pallas_pre_field[k](p, b)
+        rc = M._restrict(level, levels[k + 1], r)
+        ec = cvcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype),
+                     rc)
+        p = p + M._prolong(levels[k + 1], level, ec)
+        return pallas_post[k](p, b)
+
+    rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+    gmax = lambda x: lax.pmax(x, axis)
+
+    def solve_local(guess, b, rb, jy, max_b):
+        dtype_ = b.dtype
+        tol = jnp.maximum(
+            cfg.tol_factor * jnp.where(max_b > 0, max_b,
+                                       jnp.ones_like(max_b)),
+            jnp.asarray(cfg.abs_tol, dtype_))
+
+        def cond(carry):
+            _, res, prev, it = carry
+            return ((res > tol) & (it < cfg.max_cycles)
+                    & (res < cfg.stall_ratio * prev))
+
+        def body(carry):
+            p, res, _, it = carry
+            p, rc = pre(rb, p, b)
+            p = rr(p)
+            # defect-correction coarse switch at level 1: gather own rows
+            # of the restricted residual, run the full-2D-weight hierarchy
+            # replicated (bitwise-identical on every device), slice the
+            # local correction back out
+            rc_own = lax.slice_in_dim(rc, DEV_HALO, DEV_HALO + P, axis=0)
+            rc_g = lax.all_gather(rc_own, axis, axis=0, tiled=True)
+            rc_g = lax.slice_in_dim(rc_g, 0, Hq8, axis=0)
+            ec_g = cvcycle(0, jnp.zeros(levels[0].shape, dtype=rc_g.dtype),
+                           rc_g)
+            ec_pad = jnp.pad(ec_g, ((DEV_HALO, Hq8s + DEV_HALO - Hq8),
+                                    (0, 0)))
+            ec = lax.dynamic_slice(
+                ec_pad, ((jy * P).astype(jnp.int32),
+                         jnp.asarray(0, jnp.int32)), loc)
+            p, part = post(rb, p, b, ec)
             p = rr(p)
             return p, gmax(part).astype(dtype_), res, it + 1
 
@@ -346,21 +506,50 @@ class ShardedQuadProjection:
       mean subtracted on globally-indexed cells so halo rows stay
       consistent without an extra exchange), tolerance base max|b|
       computed after the removal as on the single-device path.
+    * rayleigh_benard — the fused tentative-carry RB kernel
+      (kernels.rb_quad: corrector + T advection-diffusion + predictor +
+      buoyancy + source) with the carry (us*, vs*, p, T) instead of
+      (us*, vs*, p, p_prev); pure-Neumann V-cycle with psummed per-cycle
+      mean pinning; guess = p (RB uses no extrapolated warm start). No
+      reference code exists for RB (README.md:79-94) — semantics match
+      physics.boussinesq's single-device quad path.
+    * backwards_step — the fused masked tentative-carry kernel
+      (kernels.step_quad: iota-derived step-rectangle masks) with the
+      3-array carry (us*, vs*, p) — no extrapolated warm start (MEASURED
+      to hurt the masked defect correction, kernels.step_quad docstring);
+      fluid-only psummed mean removal; the defect-correction solve
+      (make_sharded_masked_step_solve) runs the quad exact masked fine
+      level SPMD + the full-2D-weight coarse hierarchy replicated.
+      V(1,1) fine level (8-row halo budget of the exact masked smoother).
+      Reference: backwards_step-01.cpp:685-740 (the masked SOR this
+      replaces at scale).
     """
 
     def __init__(self, case: Case, mesh, interpret: bool = False,
                  axis: str = "dy", tol_factor: float | None = None,
                  mg_overrides: dict | None = None):
         from cfd_tpu.poisson.multigrid import (MGConfig, cavity_problem,
-                                               channel_problem)
+                                               channel_problem,
+                                               neumann_problem)
 
         grid = case.grid
-        if grid.has_solids or case.ordering not in ("cavity", "channel"):
-            raise ValueError("ShardedQuadProjection covers the cavity and "
-                             "channel flavors on rectangle grids")
+        flavor = (case.name if case.name in ("rayleigh_benard",
+                                             "backwards_step")
+                  else case.ordering)
+        if flavor not in ("cavity", "channel", "rayleigh_benard",
+                          "backwards_step"):
+            raise ValueError("ShardedQuadProjection covers the cavity, "
+                             "channel, rayleigh_benard and backwards_step "
+                             "flavors")
+        if grid.has_solids and flavor != "backwards_step":
+            raise ValueError("masked geometry is supported only for the "
+                             "backwards_step rectangle raster")
+        if flavor in ("rayleigh_benard", "backwards_step") \
+                and not case.carry_tentative:
+            raise ValueError(f"the sharded {flavor} flavor needs the quad "
+                             "kernel path (layout='quad', f32)")
         if np.dtype(case.dtype) != np.float32:
             raise ValueError("the quad fast path is float32")
-        flavor = case.ordering
         self.flavor = flavor
         self.case = case
         self.mesh = mesh
@@ -375,38 +564,92 @@ class ShardedQuadProjection:
         info = case.info or {}
 
         mg = MGConfig(tol_factor=tol_factor if tol_factor is not None
-                      else 1e-9, abs_tol=0.0, post_sweeps=1)
+                      else 1e-9, abs_tol=0.0, post_sweeps=1,
+                      # step flavor: V(1,1) — the exact masked smoother's
+                      # halo budget (make_sharded_masked_step_solve)
+                      pre_sweeps=1 if flavor == "backwards_step" else 2)
         if mg_overrides:
             mg = dataclasses.replace(mg, **mg_overrides)
-        if 2 * (mg.pre_sweeps + mg.post_sweeps) + 1 > DEV_HALO:
+        if (flavor != "backwards_step"
+                and 2 * (mg.pre_sweeps + mg.post_sweeps) + 1 > DEV_HALO):
             raise ValueError(
                 f"V({mg.pre_sweeps},{mg.post_sweeps}) consumes "
                 f"{2 * (mg.pre_sweeps + mg.post_sweeps) + 1} halo rows per "
                 f"level-1 solve > the {DEV_HALO}-row device halo")
         self.mg = mg
+        step_rect = None
         if flavor == "cavity":
             self._bc_vel = info.get("lid_velocity", 1.0)
             problem = cavity_problem(grid.nx, grid.ny, grid.dx, grid.dy)
             fused = make_quad_corr_predictor_source(
                 shape, coeffs, self._bc_vel, shard=(P, mdy),
                 interpret=interpret)
-        else:
+        elif flavor == "channel":
             self._bc_vel = info.get("inlet_velocity", 1.0)
             problem = channel_problem(grid.nx, grid.ny, grid.dx, grid.dy)
             fused = make_quad_channel_corr_predictor_source(
                 shape, coeffs, self._bc_vel, shard=(P, mdy),
                 interpret=interpret)
-        solve = make_sharded_quad_solve(problem, mg, shape, mdy,
-                                        interpret=interpret, axis=axis)
+        elif flavor == "rayleigh_benard":
+            from cfd_tpu.kernels.rb_quad import make_quad_rb_step_kernel
+
+            problem = neumann_problem(grid.nx, grid.ny, grid.dx, grid.dy)
+            fused = make_quad_rb_step_kernel(
+                shape, coeffs, info["kappa"], info.get("t_bottom", 1.0),
+                info.get("t_top", 0.0), buoyancy=1.0, shard=(P, mdy),
+                interpret=interpret)
+        else:
+            from cfd_tpu.kernels.step_quad import (
+                make_quad_step_corr_predictor_source)
+            from cfd_tpu.poisson.multigrid import step_rect_params
+
+            step_rect = step_rect_params(grid)
+            if step_rect is None:
+                raise ValueError("the sharded backwards_step flavor "
+                                 "requires the reference rectangle raster")
+            self._bc_vel = info.get("inlet_velocity", 1.0)
+            problem = None
+            fused = make_quad_step_corr_predictor_source(
+                shape, coeffs, step_rect[0], step_rect[1], self._bc_vel,
+                shard=(P, mdy), interpret=interpret)
+        if flavor == "backwards_step":
+            solve = make_sharded_masked_step_solve(
+                grid, coeffs, mg, shape, mdy, interpret=interpret, axis=axis)
+        else:
+            solve = make_sharded_quad_solve(
+                problem, mg, shape, mdy, interpret=interpret, axis=axis,
+                pin_mean=flavor == "rayleigh_benard")
         rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
         gmax = lambda x: lax.pmax(x, axis)
         n_fluid = grid.n_fluid
         ny_i, nx_i = grid.ny, grid.nx
+        n_carry = 3 if flavor == "backwards_step" else 4
+        self.n_carry = n_carry
 
-        def step_local(us, vs, p, p_prev):
+        def step_local(us, vs, p, aux=None):
+            # ``aux``: the 4th carried array — p_prev (cavity/channel
+            # extrapolated warm start) or T (rayleigh_benard); absent for
+            # backwards_step (plain-p warm start, 3-array carry)
             jy = lax.axis_index(axis)
             rb = jy * P - DEV_HALO
-            us2, vs2, b, guess, part = fused(rb, us, vs, p, p_prev)
+            if flavor == "rayleigh_benard":
+                us2, vs2, T2, b, part = fused(rb, us, vs, p, aux)
+                us2, vs2, T2, b = rr(us2), rr(vs2), rr(T2), rr(b)
+                mean = lax.psum(part, axis) / n_fluid
+                b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
+                max_b = gmax(jnp.max(jnp.abs(b)))
+                p2, iters, res = solve(p, b, rb, jy, max_b)
+                return us2, vs2, p2, T2, iters, res
+            if flavor == "backwards_step":
+                us2, vs2, b, part = fused(rb, us, vs, p)
+                us2, vs2, b = rr(us2), rr(vs2), rr(b)
+                mean = lax.psum(part, axis) / n_fluid
+                b = _sub_mean_local(b, mean, rb, ny_i, nx_i,
+                                    step_rect=step_rect)
+                max_b = gmax(jnp.max(jnp.abs(b)))
+                p2, iters, res = solve(p, b, rb, jy, max_b)
+                return us2, vs2, p2, iters, res
+            us2, vs2, b, guess, part = fused(rb, us, vs, p, aux)
             us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
             if flavor == "cavity":
                 max_b = gmax(part)
@@ -421,31 +664,27 @@ class ShardedQuadProjection:
         scalar = P_()
         self._spec = spec
         self._sharding = NamedSharding(mesh, spec)
-
-        def one(us, vs, p, p_prev):
-            us2, vs2, p2, pp2, iters, res = step_local(us, vs, p, p_prev)
-            return us2, vs2, p2, pp2, iters, res
+        out_specs = (spec,) * n_carry + (scalar, scalar)
 
         self._step = jax.jit(_shard_map(
-            one, mesh, in_specs=(spec,) * 4,
-            out_specs=(spec, spec, spec, spec, scalar, scalar)))
+            step_local, mesh, in_specs=(spec,) * n_carry,
+            out_specs=out_specs))
 
-        def chunk(us, vs, p, p_prev, n_steps):
+        def chunk(*arrs, n_steps):
             def body(carry, _):
-                us, vs, p, p_prev = carry
-                us2, vs2, p2, pp2, iters, res = step_local(us, vs, p, p_prev)
-                return (us2, vs2, p2, pp2), (iters, res)
+                out = step_local(*carry)
+                return out[:n_carry], out[n_carry:]
 
-            (us, vs, p, p_prev), (iters, res) = lax.scan(
-                body, (us, vs, p, p_prev), None, length=n_steps)
-            return us, vs, p, p_prev, iters, res
+            carry, (iters, res) = lax.scan(
+                body, arrs, None, length=n_steps)
+            return (*carry, iters, res)
 
         self._chunk_cache: dict[int, callable] = {}
 
         def make_chunk(n):
             return jax.jit(_shard_map(
-                partial(chunk, n_steps=n), mesh, in_specs=(spec,) * 4,
-                out_specs=(spec, spec, spec, spec, scalar, scalar)))
+                partial(chunk, n_steps=n), mesh,
+                in_specs=(spec,) * n_carry, out_specs=out_specs))
 
         self._make_chunk = make_chunk
 
@@ -454,10 +693,20 @@ class ShardedQuadProjection:
         self._to_quad = lambda a: to_quad(a, shape)
         Hq, Wq, Hq8, Wqa = quad_dims(shape)
         self._Hq8 = Hq8
-        mk_corr = (make_quad_corrector if flavor == "cavity"
-                   else make_quad_channel_corrector)
-        self._corr = mk_corr(shape, coeffs, self._bc_vel,
-                             interpret=interpret)
+        if flavor == "rayleigh_benard":
+            self._corr = None  # case.align/unalign_state cover the boundary
+        elif flavor == "backwards_step":
+            from cfd_tpu.kernels.step_quad import make_quad_step_corrector
+
+            self._corr = make_quad_step_corrector(
+                shape, coeffs, step_rect[0], step_rect[1], self._bc_vel,
+                interpret=interpret)
+        else:
+            mk_corr = (make_quad_corrector if flavor == "cavity"
+                       else make_quad_channel_corrector)
+            self._corr = mk_corr(shape, coeffs, self._bc_vel,
+                                 interpret=interpret)
+        self._step_rect = step_rect
         self._coeffs = coeffs
 
     # ---------------- layout conversion (print cadence only) ----------------
@@ -486,36 +735,59 @@ class ShardedQuadProjection:
         """Tentative-carry initial state from the logical zero state (BCs
         applied), as 4 sharded extended-stacked arrays."""
         case = self.case
+        if self.flavor == "rayleigh_benard":
+            # the factory's initial_state_fn returns the ALIGNED quad
+            # carry (us*, vs*, p, T) directly on the quad path
+            st = case.initial_state_fn()
+            qs = [np.asarray(a) for a in (st.u, st.v, st.p, st.T)]
+            return tuple(self._put(self._extend(q)) for q in qs)
         s = State.zeros(self.shape, dtype=jnp.float32)
         u, v = case.velocity_bc(s.u, s.v)
-        us, vs = uncorrect_quad(u, v, s.p, self.shape, self._coeffs,
-                                cavity_form=self.flavor == "cavity")
-        qs = [np.asarray(self._to_quad(a)) for a in (us, vs, s.p, s.p)]
+        if self.flavor == "backwards_step":
+            from cfd_tpu.kernels.step_quad import uncorrect_step_quad
+
+            us, vs = uncorrect_step_quad(u, v, s.p, self.shape,
+                                         self._coeffs, *self._step_rect)
+            fields = (us, vs, s.p)
+        else:
+            us, vs = uncorrect_quad(u, v, s.p, self.shape, self._coeffs,
+                                    cavity_form=self.flavor == "cavity")
+            fields = (us, vs, s.p, s.p)
+        qs = [np.asarray(self._to_quad(a)) for a in fields]
         return tuple(self._put(self._extend(q)) for q in qs)
 
     def step(self, state):
-        us, vs, p, p_prev = state
-        us, vs, p, p_prev, iters, res = self._step(us, vs, p, p_prev)
-        return (us, vs, p, p_prev), {"poisson_iters": iters,
-                                     "poisson_residual": res}
+        out = self._step(*state)
+        return tuple(out[: self.n_carry]), {"poisson_iters": out[-2],
+                                            "poisson_residual": out[-1]}
 
     def run_chunk(self, state, n_steps: int):
         if n_steps not in self._chunk_cache:
             self._chunk_cache[n_steps] = self._make_chunk(n_steps)
-        us, vs, p, p_prev, iters, res = self._chunk_cache[n_steps](*state)
-        return (us, vs, p, p_prev), {"poisson_iters": iters,
-                                     "poisson_residual": res}
+        out = self._chunk_cache[n_steps](*state)
+        return tuple(out[: self.n_carry]), {"poisson_iters": out[-2],
+                                            "poisson_residual": out[-1]}
 
     def logical(self, state) -> State:
         """Gather + correct to the logical padded (ny+2, nx+2) state (the
         tentative carry's unalign: run the corrector on the gathered quad
         arrays)."""
-        us, vs, p, p_prev = (self._collapse(x)[:, : self._Hq8, :]
-                             for x in state)
+        arrs = [self._collapse(x)[:, : self._Hq8, :] for x in state]
+        f = lambda a: from_quad(jnp.asarray(a), self.shape)
+        if self.flavor == "rayleigh_benard":
+            us, vs, p, T = arrs
+            st = State(jnp.asarray(us), jnp.asarray(vs), jnp.asarray(p),
+                       jnp.asarray(T), None)
+            return self.case.unalign_state(st)
+        if self.flavor == "backwards_step":
+            us, vs, p = arrs
+            u2, v2 = self._corr(jnp.asarray(us), jnp.asarray(vs),
+                                jnp.asarray(p))
+            return State(f(u2), f(v2), f(p), None, None)
+        us, vs, p, aux = arrs
         u2, v2, _ = self._corr(jnp.asarray(us), jnp.asarray(vs),
                                jnp.asarray(p), jnp.asarray(p))
-        f = lambda a: from_quad(jnp.asarray(a), self.shape)
-        return State(f(u2), f(v2), f(p), None, f(p_prev))
+        return State(f(u2), f(v2), f(p), None, f(aux))
 
 
 # Back-compat name from before the channel flavor was folded in (round-3):

@@ -9,6 +9,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # Keep the axon TPU-tunnel plugin from initializing under pytest: tests run on
 # host CPU, and a concurrent TPU holder can block backend init indefinitely.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Stronger: skip the plugin REGISTRATION entirely (sitecustomize registers it
+# iff PALLAS_AXON_POOL_IPS is set). With it registered, jax.devices('cpu')
+# still initializes the axon backend, whose client retry-sleeps on the tunnel
+# relay — a wedged chip (e.g. an earlier killed TPU process's orphaned claim)
+# then blocks EVERY backend-init in every test process indefinitely (observed:
+# main thread in clock_nanosleep, 1 s CPU over 9 min).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -202,3 +202,102 @@ def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
         atol = (3e-4 if name == "p" else 2e-5) * max(
             1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=name)
+
+
+@pytest.mark.parametrize("nx,ny,mdy,steps", [
+    (64, 16, 4, 3),
+    pytest.param(256, 32, 8, 2, marks=pytest.mark.slow),  # the reference grid
+])
+def test_sharded_quad_step_matches_single_device(nx, ny, mdy, steps):
+    """Backwards-step flavor of the sharded quad fast path == the
+    single-device masked quad path at the same V(1,1) (the sharded halo
+    budget of the exact masked smoother): fused masked tentative-carry
+    kernel + quad exact fine level SPMD, full-2D-weight coarse hierarchy
+    replicated; same cycle counts (+-1 knife-edge ulp), trajectories to
+    f32 roundoff, solid region untouched."""
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+
+    case = make_backwards_step_case(
+        nx=nx, ny=ny, dtype=jnp.float32, poisson="multigrid",
+        tolerance_factor=1e-5, smoother_mode="interpret", layout="quad",
+        mg_overrides={"pre_sweeps": 1, "post_sweeps": 1})
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    single_iters = []
+    for _ in range(steps):
+        st, d = sim._step(st)
+        single_iters.append(int(d.poisson_iters))
+    ref = sim._logical(st)
+
+    sq = ShardedQuadProjection(case, cpu_mesh_1d(mdy), interpret=True,
+                               tol_factor=1e-5,
+                               mg_overrides={"abs_tol": 1e-10})
+    assert sq.flavor == "backwards_step"
+    assert sq.n_carry == 3
+    state = sq.initial_state()
+    shard_iters = []
+    for _ in range(steps):
+        state, d = sq.step(state)
+        shard_iters.append(int(d["poisson_iters"]))
+    got = sq.logical(state)
+
+    assert all(abs(a - b) <= 1 for a, b in zip(shard_iters, single_iters)), \
+        (shard_iters, single_iters)
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-5 * max(
+            1.0, float(np.abs(a).max())), err_msg=name)
+    # solid-block interior u-faces stay exactly zero through the carry
+    from cfd_tpu.poisson.multigrid import step_rect_params
+
+    step_i, inlet_j = step_rect_params(case.grid)
+    u = np.asarray(got.u)
+    assert np.all(u[inlet_j + 1:-1, 1:step_i] == 0.0)
+
+
+@pytest.mark.parametrize("nx,ny,mdy,steps", [
+    (48, 16, 4, 3),
+    pytest.param(192, 64, 8, 2, marks=pytest.mark.slow),
+])
+def test_sharded_quad_rb_matches_single_device(nx, ny, mdy, steps):
+    """Rayleigh-Benard flavor of the sharded quad fast path == the
+    single-device quad RB step (round-3: the last rectangle-grid physics
+    flavor without a kernel-speed sharded story): the fused tentative-carry
+    RB kernel under shard_map with the pure-Neumann pinned V-cycle (psummed
+    per-cycle mean), same V-cycle counts (+-1 knife-edge ulp as the
+    cavity/channel tests), (u, v, p, T) trajectories to f32 roundoff."""
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+    from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+    case = make_rayleigh_benard_case(
+        nx=nx, ny=ny, rayleigh=1e5, dtype=jnp.float32,
+        tolerance_factor=1e-5, abs_tol=1e-7,
+        step_kernel_mode="interpret", layout="quad")
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    single_iters = []
+    for _ in range(steps):
+        st, d = sim._step(st)
+        single_iters.append(int(d.poisson_iters))
+    ref = sim._logical(st)
+
+    sq = ShardedQuadProjection(case, cpu_mesh_1d(mdy), interpret=True,
+                               tol_factor=1e-5,
+                               mg_overrides={"abs_tol": 1e-7})
+    assert sq.flavor == "rayleigh_benard"
+    state = sq.initial_state()
+    shard_iters = []
+    for _ in range(steps):
+        state, d = sq.step(state)
+        shard_iters.append(int(d["poisson_iters"]))
+    got = sq.logical(state)
+
+    assert all(abs(a - b) <= 1 for a, b in zip(shard_iters, single_iters)), \
+        (shard_iters, single_iters)
+    for name in ("u", "v", "p", "T"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-5 * max(
+            1.0, float(np.abs(a).max())), err_msg=name)
