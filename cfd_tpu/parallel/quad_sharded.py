@@ -355,16 +355,20 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
     """Sharded variant of poisson.multigrid.make_masked_quad_multigrid_
     poisson (the backward-step defect-correction solver): the quad exact
     masked fine level (kernels.step_quad pre/post) runs SPMD on local
-    blocks; the non-separable full-2D-weight coarse hierarchy runs
-    REPLICATED on every device from an all_gathered level-1 source (the
-    coarse-switch pattern one level earlier than the separable solve —
-    the 2D-weight levels have no separable row/column split to band-smooth
-    within the halo budget, and at the target sizes the whole hierarchy
-    below the fine level is < 1/3 of the cells).
+    blocks; level 1 (the largest full-2D-weight coarse level, 1/4 of the
+    fine cells) band-smooths SPMD too, with the non-separable weights
+    sliced per device from the padded global arrays (a dynamic_slice at
+    jy*P — no separable row/column split is needed because the weights
+    stream as local 2D blocks, exactly like the iterate); only the tail
+    BELOW level 1 (~1/12 of the fine cells) runs REPLICATED from an
+    all_gathered level-2 source. Grids too small to coarsen twice keep
+    the old level-1 coarse switch.
 
-    V(1,1) only: the exact masked smoother consumes 3 rows per pair (ghost
-    stage + red + black planes), so one pair + the residual/restriction
-    fills the 8-row device halo exactly (the kernel factories enforce it).
+    V(1,1) only: the exact masked fine smoother consumes 3 rows per pair
+    (ghost stage + red + black planes), so one pair + the residual/
+    restriction fills the 8-row device halo exactly (the kernel factories
+    enforce it); the level-1 band pair + residual consumes 3 rows of the
+    same budget.
 
     Returns solve_local(guess, b, rb, jy, max_b) with the
     make_sharded_quad_solve contract."""
@@ -413,15 +417,76 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.post_sweeps,
         loc, shard=(P, mdy), interpret=interpret)
 
+    # level 1 runs SPMD (band-smoothed below) when a level 2 exists; the
+    # replicated Pallas tail then starts at levels[1]
+    l1_spmd = len(levels) >= 2
+    rep_lo = 1 if l1_spmd else 0
     pallas_pre_field = {}
     pallas_post = {}
-    for k in range(len(levels) - 1):
+    for k in range(rep_lo, len(levels) - 1):
         pallas_pre_field[k] = rb_pairs_for_level(
             levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
             interpret=interpret, aligned_io=True)
         pallas_post[k] = rb_pairs_for_level(
             levels[k], cfg.omega, cfg.post_sweeps, interpret=interpret,
             aligned_io=True)
+
+    # --- level-1 SPMD band smoother constants (sliced full-2D weights) ---
+    L1 = levels[0]
+    p1 = probs[1]
+    ny1, nx1 = p1.ny, p1.nx
+    idx2_1 = 1.0 / (p1.dx * p1.dx)
+    idy2_1 = 1.0 / (p1.dy * p1.dy)
+    Hq8_, Wqa_ = L1.shape
+    pad_g = lambda a: jnp.pad(
+        jnp.asarray(a, dtype), ((DEV_HALO, Hq8s + DEV_HALO - Hq8_), (0, 0)))
+    wEg, wWg = pad_g(L1.wE), pad_g(L1.wW)
+    wNg, wSg = pad_g(L1.wN), pad_g(L1.wS)
+
+    def l1_geom(jy):
+        """(interior, red, black, inv, wE, wW, wN, wS) on the local
+        extended level-1 block: weights dynamic-sliced from the padded
+        global arrays at the device's mesh position, decoupled cells
+        (denom == 0, e.g. inside the solid rectangle) excluded exactly as
+        multigrid._inline_masks does for non-separable levels."""
+        off = (jy * P).astype(jnp.int32)
+        zero = jnp.asarray(0, jnp.int32)
+        sl = lambda g: lax.dynamic_slice(g, (off, zero), loc)
+        wE, wW, wN, wS = sl(wEg), sl(wWg), sl(wNg), sl(wSg)
+        lr = lax.broadcasted_iota(jnp.int32, loc, 0)
+        lc = lax.broadcasted_iota(jnp.int32, loc, 1)
+        gj = jy * P - DEV_HALO + lr
+        denom = idx2_1 * (wE + wW) + idy2_1 * (wN + wS)
+        interior = ((gj >= 1) & (gj <= ny1) & (lc >= 1) & (lc <= nx1)
+                    & (denom > 0))
+        even = ((gj + lc) % 2) == 0
+        inv = jnp.where(interior,
+                        1.0 / jnp.where(denom > 0, denom,
+                                        jnp.ones_like(denom)),
+                        jnp.zeros(loc, dtype))
+        return interior, interior & even, interior & ~even, inv, wE, wW, wN, wS
+
+    def l1_band(k, jy):
+        lr = lax.broadcasted_iota(jnp.int32, loc, 0)
+        lo = jnp.where(jy == 0, 0, k)
+        hi = jnp.where(jy == mdy - 1, loc[0], loc[0] - k)
+        return (lr >= lo) & (lr < hi)
+
+    def l1_half(e, r, mask, geom):
+        _, _, _, inv, wE, wW, wN, wS = geom
+        gs = (idx2_1 * (wE * M._sh(e, 0, 1) + wW * M._sh(e, 0, -1))
+              + idy2_1 * (wN * M._sh(e, 1, 0) + wS * M._sh(e, -1, 0))
+              - r) * inv
+        upd = e + cfg.omega * (gs - e)
+        return jnp.where(mask, upd.astype(e.dtype), e)
+
+    def l1_residual(e, r, geom, consumed, jy):
+        interior, _, _, _, wE, wW, wN, wS = geom
+        a = (idx2_1 * (wE * (M._sh(e, 0, 1) - e) + wW * (M._sh(e, 0, -1) - e))
+             + idy2_1 * (wN * (M._sh(e, 1, 0) - e)
+                         + wS * (M._sh(e, -1, 0) - e)))
+        return jnp.where(interior & l1_band(consumed + 1, jy), r - a,
+                         jnp.zeros_like(r))
 
     def coarse_solve(b):
         vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
@@ -443,6 +508,43 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
     rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
     gmax = lambda x: lax.pmax(x, axis)
 
+    def slice_local(glob_field, jy):
+        """Globally-valid (Hq8, W) field -> local extended block (halo rows
+        consistent by construction — every device slices the same array)."""
+        gp = jnp.pad(glob_field, ((DEV_HALO, Hq8s + DEV_HALO - Hq8),
+                                  (0, 0)))
+        return lax.dynamic_slice(
+            gp, ((jy * P).astype(jnp.int32), jnp.asarray(0, jnp.int32)),
+            loc)
+
+    def l1_solve(rc, jy):
+        """Level-1 correction for the fresh-haloed local source rc: one
+        red/black pair + residual (3 halo rows consumed), coarse switch at
+        level 2 (gather own rows of the level-1 residual, restrict + run
+        the tiny replicated tail, slice the local correction back), post
+        pair. Own rows exact; halos stale by the band (caller refreshes)."""
+        geom = l1_geom(jy)
+        red, black = geom[1], geom[2]
+        e = jnp.zeros(loc, dtype=rc.dtype)
+        k = 0
+        for _ in range(cfg.pre_sweeps):
+            e = l1_half(e, rc, red & l1_band(k + 1, jy), geom)
+            e = l1_half(e, rc, black & l1_band(k + 2, jy), geom)
+            k += 2
+        r1 = l1_residual(e, rc, geom, k, jy)
+        r_own = lax.slice_in_dim(r1, DEV_HALO, DEV_HALO + P, axis=0)
+        r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)
+        r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
+        rc2 = M._restrict(L1, levels[1], r_g)
+        e2 = cvcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
+        ef_g = M._prolong(levels[1], L1, e2)
+        e = e + slice_local(ef_g, jy)
+        for _ in range(cfg.post_sweeps):
+            e = l1_half(e, rc, red & l1_band(k + 1, jy), geom)
+            e = l1_half(e, rc, black & l1_band(k + 2, jy), geom)
+            k += 2
+        return e
+
     def solve_local(guess, b, rb, jy, max_b):
         dtype_ = b.dtype
         tol = jnp.maximum(
@@ -459,20 +561,25 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
             p, res, _, it = carry
             p, rc = pre(rb, p, b)
             p = rr(p)
-            # defect-correction coarse switch at level 1: gather own rows
-            # of the restricted residual, run the full-2D-weight hierarchy
-            # replicated (bitwise-identical on every device), slice the
-            # local correction back out
-            rc_own = lax.slice_in_dim(rc, DEV_HALO, DEV_HALO + P, axis=0)
-            rc_g = lax.all_gather(rc_own, axis, axis=0, tiled=True)
-            rc_g = lax.slice_in_dim(rc_g, 0, Hq8, axis=0)
-            ec_g = cvcycle(0, jnp.zeros(levels[0].shape, dtype=rc_g.dtype),
-                           rc_g)
-            ec_pad = jnp.pad(ec_g, ((DEV_HALO, Hq8s + DEV_HALO - Hq8),
-                                    (0, 0)))
-            ec = lax.dynamic_slice(
-                ec_pad, ((jy * P).astype(jnp.int32),
-                         jnp.asarray(0, jnp.int32)), loc)
+            if l1_spmd:
+                # level 1 band-smooths SPMD on the fresh-haloed local
+                # source; only the tail below it runs replicated
+                rc = rr(rc)
+                ec = l1_solve(rc, jy)
+                ec = rr(ec)
+            else:
+                # grids too small to coarsen twice: defect-correction
+                # coarse switch at level 1 — gather own rows of the
+                # restricted residual, run the full-2D-weight hierarchy
+                # replicated (bitwise-identical on every device), slice
+                # the local correction back out
+                rc_own = lax.slice_in_dim(rc, DEV_HALO, DEV_HALO + P,
+                                          axis=0)
+                rc_g = lax.all_gather(rc_own, axis, axis=0, tiled=True)
+                rc_g = lax.slice_in_dim(rc_g, 0, Hq8, axis=0)
+                ec_g = cvcycle(0, jnp.zeros(levels[0].shape,
+                                            dtype=rc_g.dtype), rc_g)
+                ec = slice_local(ec_g, jy)
             p, part = post(rb, p, b, ec)
             p = rr(p)
             return p, gmax(part).astype(dtype_), res, it + 1
@@ -519,7 +626,8 @@ class ShardedQuadProjection:
       to hurt the masked defect correction, kernels.step_quad docstring);
       fluid-only psummed mean removal; the defect-correction solve
       (make_sharded_masked_step_solve) runs the quad exact masked fine
-      level SPMD + the full-2D-weight coarse hierarchy replicated.
+      level AND the sliced-2D-weight level 1 SPMD, with only the tail
+      below level 2 (~1/12 of the cells) replicated.
       V(1,1) fine level (8-row halo budget of the exact masked smoother).
       Reference: backwards_step-01.cpp:685-740 (the masked SOR this
       replaces at scale).
