@@ -205,7 +205,8 @@ def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
 
 
 @pytest.mark.parametrize("nx,ny,mdy,steps", [
-    (64, 16, 4, 3),
+    (64, 16, 4, 3),       # 2 coarse levels: level-1 band-smooths SPMD
+    (32, 8, 2, 3),        # 1 coarse level: the level-1 coarse-switch fallback
     pytest.param(256, 32, 8, 2, marks=pytest.mark.slow),  # the reference grid
 ])
 def test_sharded_quad_step_matches_single_device(nx, ny, mdy, steps):
