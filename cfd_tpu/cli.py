@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--steps-per-call", type=int, default=1,
                         help="advance N steps per device dispatch (lax.scan); "
                              "must divide print/save intervals")
+        sp.add_argument("--mesh", type=int, default=None, metavar="N",
+                        help="run MULTI-CHIP: shard the domain over N devices "
+                             "(1-D plane-row decomposition on the quad fast "
+                             "path; needs --precision f32 and multigrid — the "
+                             "TPU-native decomposePar+mpirun, reference "
+                             "README.md:129-131)")
         sp.add_argument("--sync-io", action="store_true",
                         help="write VTK snapshots synchronously in the time "
                              "loop (default: background writer thread)")
@@ -173,7 +179,21 @@ def main(argv=None) -> int:
     console.print_banner(case, color=args.color)
     print(f"devices: {jax.devices()}")
 
-    sim = Simulation(case, exporter=exporter, metrics=metrics)
+    mesh = None
+    if args.mesh:
+        if args.adaptive_dt is not None:
+            raise SystemExit("--mesh does not support --adaptive-dt yet "
+                             "(run adaptive single-chip)")
+        if args.precision != "f32":
+            raise SystemExit("--mesh runs the f32 quad fast path: add "
+                             "--precision f32")
+        from cfd_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=args.mesh, shape=(args.mesh, 1))
+        print(f"mesh: {args.mesh}x1 plane-row decomposition over "
+              f"{mesh.devices.flat[0].platform}")
+
+    sim = Simulation(case, exporter=exporter, metrics=metrics, mesh=mesh)
 
     state = None
     start_step = 0

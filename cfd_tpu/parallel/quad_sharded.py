@@ -841,26 +841,39 @@ class ShardedQuadProjection:
 
     def initial_state(self):
         """Tentative-carry initial state from the logical zero state (BCs
-        applied), as 4 sharded extended-stacked arrays."""
+        applied), as ``n_carry`` sharded extended-stacked arrays."""
         case = self.case
         if self.flavor == "rayleigh_benard":
             # the factory's initial_state_fn returns the ALIGNED quad
             # carry (us*, vs*, p, T) directly on the quad path
-            st = case.initial_state_fn()
-            qs = [np.asarray(a) for a in (st.u, st.v, st.p, st.T)]
-            return tuple(self._put(self._extend(q)) for q in qs)
+            return self.from_logical(case.initial_state_fn())
         s = State.zeros(self.shape, dtype=jnp.float32)
         u, v = case.velocity_bc(s.u, s.v)
+        return self.from_logical(State(u, v, s.p, s.T, None))
+
+    def from_logical(self, st: State):
+        """Logical padded-layout State -> sharded tentative-carry state
+        (the inverse of ``logical``; the resume boundary for checkpoints,
+        which store the logical layout with p_prev = previous pressure).
+        RB also accepts the factory's ALIGNED quad carry directly."""
+        case = self.case
+        if self.flavor == "rayleigh_benard":
+            if st.u.shape == self.shape:  # logical layout -> aligned carry
+                st = case.align_state(st)
+            qs = [np.asarray(a) for a in (st.u, st.v, st.p, st.T)]
+            return tuple(self._put(self._extend(q)) for q in qs)
+        u, v, p = st.u, st.v, st.p
         if self.flavor == "backwards_step":
             from cfd_tpu.kernels.step_quad import uncorrect_step_quad
 
-            us, vs = uncorrect_step_quad(u, v, s.p, self.shape,
+            us, vs = uncorrect_step_quad(u, v, p, self.shape,
                                          self._coeffs, *self._step_rect)
-            fields = (us, vs, s.p)
+            fields = (us, vs, p)
         else:
-            us, vs = uncorrect_quad(u, v, s.p, self.shape, self._coeffs,
+            us, vs = uncorrect_quad(u, v, p, self.shape, self._coeffs,
                                     cavity_form=self.flavor == "cavity")
-            fields = (us, vs, s.p, s.p)
+            p_prev = st.p_prev if st.p_prev is not None else p
+            fields = (us, vs, p, p_prev)
         qs = [np.asarray(self._to_quad(a)) for a in fields]
         return tuple(self._put(self._extend(q)) for q in qs)
 

@@ -295,12 +295,38 @@ class Simulation:
     """Host-side time-loop driver with periodic diagnostics and export
     (equivalent of the reference ``run()`` loops)."""
 
-    def __init__(self, case: Case, exporter=None, log=print, metrics=None):
+    def __init__(self, case: Case, exporter=None, log=print, metrics=None,
+                 mesh=None, sharded_kwargs: Optional[dict] = None):
+        """``mesh``: a jax.sharding.Mesh — runs the case MULTI-CHIP on the
+        sharded quad fast path (parallel.quad_sharded.ShardedQuadProjection;
+        f32 multigrid, all four physics flavors). The time loop, stats rows,
+        VTK export and checkpointing are unchanged: the sharded engine's
+        state is gathered to the logical layout at print/save cadence only.
+        The TPU-native answer to the reference's OpenFOAM decomposePar +
+        mpirun workflow (README.md:129-131)."""
         self.case = case
         self.exporter = exporter  # callable (state, step_idx, time) or None
         self.log = log
         self.metrics = metrics  # io.MetricsLog or None
-        self._step = jax.jit(make_step(case))
+        self._engine = None
+        if mesh is not None:
+            from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+
+            kw = dict(sharded_kwargs or {})
+            # Pallas kernels need interpret mode off-TPU (virtual CPU meshes)
+            kw.setdefault("interpret",
+                          mesh.devices.flat[0].platform == "cpu")
+            engine = ShardedQuadProjection(case, mesh, **kw)
+            self._engine = engine
+
+            def _estep(state):
+                st, d = engine.step(state)
+                return st, StepDiagnostics(d["poisson_iters"],
+                                           d["poisson_residual"])
+
+            self._step = _estep
+        else:
+            self._step = jax.jit(make_step(case))
         self._stats = jax.jit(
             lambda u, v: flow_statistics(
                 u, v, case.coeffs, jnp.asarray(case.grid.cell_mask), case.ke_divisor
@@ -322,6 +348,8 @@ class Simulation:
         self.blowup_ke_threshold = 1e6
 
     def initial_state(self) -> State:
+        if self._engine is not None:
+            return self._engine.initial_state()
         if self.case.initial_state_fn is not None:
             return self.case.initial_state_fn()
         s = State.zeros(self.case.grid.shape, dtype=self.case.dtype)
@@ -334,7 +362,10 @@ class Simulation:
 
     def _logical(self, state: State) -> State:
         """State in the logical (ny+2, nx+2) layout for stats/export/
-        checkpoint (identity unless the case carries an aligned state)."""
+        checkpoint (identity unless the case carries an aligned state or
+        the run is sharded)."""
+        if self._engine is not None and isinstance(state, tuple):
+            return self._engine.logical(state)
         if (self._unalign is not None
                 and state.u.shape != self.case.grid.shape):
             return self._unalign(state)
@@ -358,14 +389,24 @@ class Simulation:
         dispatch latency on large grids; ~1 ms per call over this TPU
         tunnel)."""
         if spc not in self._multi_cache:
-            step = make_step(self.case)
+            if self._engine is not None:
+                engine = self._engine
 
-            def body(s, _):
-                s2, d = step(s)
-                return s2, d
+                def multi(state, _spc=spc):
+                    st, d = engine.run_chunk(state, _spc)
+                    return st, StepDiagnostics(d["poisson_iters"],
+                                               d["poisson_residual"])
 
-            self._multi_cache[spc] = jax.jit(
-                lambda s: jax.lax.scan(body, s, None, length=spc))
+                self._multi_cache[spc] = multi
+            else:
+                step = make_step(self.case)
+
+                def body(s, _):
+                    s2, d = step(s)
+                    return s2, d
+
+                self._multi_cache[spc] = jax.jit(
+                    lambda s: jax.lax.scan(body, s, None, length=spc))
         return self._multi_cache[spc]
 
     def run(self, state: Optional[State] = None, n_steps: Optional[int] = None,
@@ -384,6 +425,9 @@ class Simulation:
             state = self.initial_state()
             if self.exporter is not None and start_step == 0:
                 self.exporter(self._logical(state), 0, 0.0)
+        elif self._engine is not None and isinstance(state, State):
+            # resumed from a checkpoint (stored in the logical layout)
+            state = self._engine.from_logical(state)
         elif (case.align_state is not None
               and state.u.shape == case.grid.shape):
             # resumed from a checkpoint (stored in the logical layout)
