@@ -80,6 +80,96 @@ def make_adaptive_step(case) -> Callable:
     return jax.jit(step)
 
 
+def _run_adaptive_sharded(sim, max_courant, n_steps, final_time, dt0,
+                          growth, state, log, spc):
+    """Multi-chip lagged-controller loop: the engine's shard_map adaptive
+    chunk (ShardedQuadProjection.make_adaptive) with the same host-side
+    bookkeeping as the single-chip lagged branch — controller state stays
+    device-resident between chunks, synced at print/checkpoint cadence."""
+    case = sim.case
+    engine = sim._engine
+    dt = float(dt0 if dt0 is not None else case.dt)
+    dt_used = dt
+    t = 0.0
+    k = 0
+    if case.print_interval % spc:
+        raise ValueError(f"steps_per_call={spc} must divide "
+                         f"the print interval ({case.print_interval})")
+    ckpt_iv = sim.checkpointer.interval if sim.checkpointer else 0
+    if ckpt_iv and ckpt_iv % spc:
+        raise ValueError(f"steps_per_call={spc} must divide "
+                         f"the checkpoint interval ({ckpt_iv})")
+    logical0 = None
+    if state is None:
+        resumed = None
+        if sim.checkpointer is not None:
+            resumed, k0, extras = sim.checkpointer.restore_latest(
+                case, with_extras=True)
+        if resumed is not None and "dt" in extras:
+            logical0, k = resumed, k0
+            dt, t = extras["dt"], extras["t"]
+            dt_used = extras.get("dt_used", dt)
+            log(f"resumed adaptive run at step {k} (t={t:.6g}, dt={dt:.6e})")
+        elif case.initial_state_fn is not None:
+            logical0 = case.initial_state_fn()
+        else:
+            s = State.zeros(case.grid.shape, dtype=case.dtype)
+            u, v = case.velocity_bc(s.u, s.v)
+            logical0 = State(u, v, s.p, s.T, None)
+    else:
+        logical0 = state
+    if case.unalign_state is not None \
+            and logical0.u.shape != case.grid.shape:
+        logical0 = case.unalign_state(logical0)
+    diffusivity = (case.adaptive_diffusivity
+                   if case.adaptive_diffusivity is not None
+                   else case.coeffs.viscosity)
+    dt_ceiling = 0.25 * min(case.coeffs.dx, case.coeffs.dy) ** 2 \
+        / max(diffusivity, 1e-300)
+    chunk, from_logical_a, to_logical_s = engine.make_adaptive(
+        max_courant, growth, dt_ceiling, spc)
+    st = from_logical_a(logical0, dt_used)
+    n_carry = engine.n_carry
+    du_dev = jnp.asarray(dt_used, case.dtype)
+    d_dev = jnp.asarray(dt, case.dtype)
+    t_dev = jnp.asarray(t, case.dtype)
+    rows = []
+    dt_last = dt
+    co_last = it_last = res_last = 0.0
+    while True:
+        if n_steps is not None and k >= n_steps:
+            break
+        if final_time is not None and t >= final_time:
+            break
+        out = chunk(*st, du_dev, d_dev, t_dev)
+        st = out[:n_carry]
+        du_dev, d_dev, t_dev, packed = out[n_carry:]
+        k += spc
+        sync = (final_time is not None or k % case.print_interval == 0
+                or (ckpt_iv and k % ckpt_iv == 0)
+                or (n_steps is not None and k >= n_steps))
+        if sync:
+            du_h, d_h, t, dt_last, co_last, it_last, res_last = \
+                map(float, np.asarray(packed))
+            dt_used, dt = du_h, d_h
+        if k % case.print_interval == 0:
+            row = sim.statistics(to_logical_s(st, dt_used))
+            row.update(step=k, time=t, dt=dt_last, courant=co_last,
+                       poisson_iters=int(it_last),
+                       poisson_residual=res_last)
+            rows.append(row)
+            log(f"Step {k:6d} | t={t:8.4f} | dt={dt_last:.3e}"
+                f" | Co={co_last:.3f}"
+                f" | max(div)={row['max_divergence']:10.2e}"
+                f" | avg_KE={row['avg_kinetic_energy']:10.6f}")
+        if ckpt_iv and k % ckpt_iv == 0:
+            sim.checkpointer.maybe_save(
+                to_logical_s(st, dt_used), k,
+                extras={"dt": dt, "t": t, "dt_used": dt_used})
+    dt_used = float(du_dev)
+    return to_logical_s(st, dt_used), rows
+
+
 def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
                  final_time: float | None = None, dt0: float | None = None,
                  growth: float = 1.2, state: State | None = None,
@@ -127,6 +217,17 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     if controller not in ("exact", "lagged"):
         raise ValueError(f"unknown controller: {controller!r}")
     use_carry = controller == "lagged"
+    if getattr(sim, "_engine", None) is not None:
+        # multi-chip: the sharded quad engine runs the lagged controller
+        # (the exact controller's non-carry kernels have no sharded story)
+        if not use_carry:
+            raise ValueError("sharded adaptive runs the lagged controller: "
+                             "pass controller='lagged' "
+                             "(--adaptive-controller lagged)")
+        return _run_adaptive_sharded(
+            sim, max_courant=max_courant, n_steps=n_steps,
+            final_time=final_time, dt0=dt0, growth=growth, state=state,
+            log=log, spc=max(1, steps_per_call))
     to_aligned = to_logical = None
     if use_carry:
         if case.adaptive_impl_carry is None:

@@ -181,9 +181,9 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
-        if args.adaptive_dt is not None:
-            raise SystemExit("--mesh does not support --adaptive-dt yet "
-                             "(run adaptive single-chip)")
+        if args.adaptive_dt is not None and args.adaptive_controller != "lagged":
+            raise SystemExit("--mesh adaptive runs the lagged controller: "
+                             "add --adaptive-controller lagged")
         if args.precision != "f32":
             raise SystemExit("--mesh runs the f32 quad fast path: add "
                              "--precision f32")

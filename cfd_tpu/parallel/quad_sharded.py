@@ -727,6 +727,8 @@ class ShardedQuadProjection:
             solve = make_sharded_quad_solve(
                 problem, mg, shape, mdy, interpret=interpret, axis=axis,
                 pin_mean=flavor == "rayleigh_benard")
+        self._solve = solve
+        self._interpret = interpret
         rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
         gmax = lambda x: lax.pmax(x, axis)
         n_fluid = grid.n_fluid
@@ -888,6 +890,167 @@ class ShardedQuadProjection:
         out = self._chunk_cache[n_steps](*state)
         return tuple(out[: self.n_carry]), {"poisson_iters": out[-2],
                                             "poisson_residual": out[-1]}
+
+    # ---------------- lagged-controller adaptive dt (multi-chip) ----------------
+
+    def make_adaptive(self, max_courant: float, growth: float,
+                      dt_ceiling: float, spc: int):
+        """Lagged-controller adaptive stepping on the SHARDED quad fast
+        path (the multi-chip twin of cfd_tpu.adaptive's "lagged" branch):
+        the same tentative-carry fused kernels with the (dt_corr, dt_pred)
+        SMEM pair and the Courant maxima fused into their scalar
+        reductions; under shard_map the per-device Courant partials are
+        pmaxed and the controller update (dt' = min(dt*min(growth,
+        max_co/Co), ceiling)) runs replicated on every device, so dt stays
+        a replicated traced scan carry — no host sync per step.
+
+        Returns (chunk, from_logical_a, to_logical_s):
+
+        * chunk(*state, du, d, t) -> (*state2, du2, d2, t2, packed) — a
+          jitted shard_map scan of ``spc`` steps; packed = (du2, d2, t2,
+          dt_last, co_last, iters_last, res_last) f32, fetched at print
+          cadence only;
+        * from_logical_a(logical_state, dt) / to_logical_s(state, dt_used)
+          — the resume/print boundary, reusing the case's single-device
+          adaptive converters (Case.adaptive_impl_carry) on the gathered
+          global quad arrays."""
+        case, flavor = self.case, self.flavor
+        if case.adaptive_impl_carry is None:
+            raise ValueError("sharded adaptive needs the quad kernel case "
+                             "(Case.adaptive_impl_carry: layout='quad', "
+                             "f32 multigrid)")
+        P, mdy, axis = self.P, self.mdy, self.axis
+        grid = case.grid
+        idx_, idy_ = 1.0 / grid.dx, 1.0 / grid.dy
+        coeffs = self._coeffs
+        info = case.info or {}
+        interp = self._interpret
+        shape = self.shape
+        if flavor == "cavity":
+            fused_a = make_quad_corr_predictor_source(
+                shape, coeffs, self._bc_vel, shard=(P, mdy),
+                interpret=interp, traced_dt=True, emit_courant=True)
+        elif flavor == "channel":
+            fused_a = make_quad_channel_corr_predictor_source(
+                shape, coeffs, self._bc_vel, shard=(P, mdy),
+                interpret=interp, traced_dt=True, emit_courant=True)
+        elif flavor == "rayleigh_benard":
+            from cfd_tpu.kernels.rb_quad import make_quad_rb_step_kernel
+
+            fused_a = make_quad_rb_step_kernel(
+                shape, coeffs, info["kappa"], info.get("t_bottom", 1.0),
+                info.get("t_top", 0.0), buoyancy=1.0, shard=(P, mdy),
+                interpret=interp, traced_dt=True, emit_courant=True)
+        else:
+            from cfd_tpu.kernels.step_quad import (
+                make_quad_step_corr_predictor_source)
+
+            fused_a = make_quad_step_corr_predictor_source(
+                shape, coeffs, self._step_rect[0], self._step_rect[1],
+                self._bc_vel, shard=(P, mdy), interpret=interp,
+                traced_dt=True, emit_courant=True)
+        solve = self._solve
+        rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+        gmax = lambda x: lax.pmax(x, axis)
+        n_fluid = grid.n_fluid
+        ny_i, nx_i = grid.ny, grid.nx
+        step_rect = self._step_rect
+        n_carry = self.n_carry
+
+        def astep_local(arrs, du, d):
+            jy = lax.axis_index(axis)
+            rb = jy * P - DEV_HALO
+            if flavor == "rayleigh_benard":
+                us, vs, p, T = arrs
+                us2, vs2, T2, b, part, mu, mv = fused_a(
+                    rb, (du, d), us, vs, p, T)
+                us2, vs2, T2, b = rr(us2), rr(vs2), rr(T2), rr(b)
+                mean = lax.psum(part, axis) / n_fluid
+                b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
+                max_b = gmax(jnp.max(jnp.abs(b)))
+                p2, iters, res = solve(p, b, rb, jy, max_b)
+                new = (us2, vs2, p2, T2)
+            elif flavor == "backwards_step":
+                us, vs, p = arrs
+                us2, vs2, b, part, mu, mv = fused_a(rb, (du, d), us, vs, p)
+                us2, vs2, b = rr(us2), rr(vs2), rr(b)
+                mean = lax.psum(part, axis) / n_fluid
+                b = _sub_mean_local(b, mean, rb, ny_i, nx_i,
+                                    step_rect=step_rect)
+                max_b = gmax(jnp.max(jnp.abs(b)))
+                p2, iters, res = solve(p, b, rb, jy, max_b)
+                new = (us2, vs2, p2)
+            else:
+                us, vs, p, pp = arrs
+                us2, vs2, b, guess, part, mu, mv = fused_a(
+                    rb, (du, d), us, vs, p, pp)
+                us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
+                if flavor == "cavity":
+                    max_b = gmax(part)
+                else:
+                    mean = lax.psum(part, axis) / n_fluid
+                    b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
+                    max_b = gmax(jnp.max(jnp.abs(b)))
+                p2, iters, res = solve(guess, b, rb, jy, max_b)
+                new = (us2, vs2, p2, p)
+            co_per_dt = gmax(mu) * idx_ + gmax(mv) * idy_
+            return new, iters, res, co_per_dt
+
+        def chunk_local(*args):
+            arrs = args[:n_carry]
+            du, d, t = args[n_carry:]
+
+            def body(carry, _):
+                arrs_, du_, d_, t_ = carry
+                new, iters, res, co_per_dt = astep_local(arrs_, du_, d_)
+                # Courant of the step the kernel just CORRECTED (evolved
+                # over du_) — one step stale, adaptive.run_adaptive lagged
+                co_prev = du_ * co_per_dt
+                scale = jnp.minimum(growth, max_courant
+                                    / jnp.maximum(co_prev, 1e-12))
+                d2 = jnp.minimum(d_ * scale,
+                                 jnp.asarray(dt_ceiling, d_.dtype))
+                return (new, d_, d2, t_ + d_), (iters, res, d_, co_prev)
+
+            (arrs, du2, d2, t2), (iters, res, dts, cos) = lax.scan(
+                body, (arrs, du, d, t), None, length=spc)
+            packed = jnp.stack([
+                du2.astype(jnp.float32), d2.astype(jnp.float32),
+                t2.astype(jnp.float32), dts[-1].astype(jnp.float32),
+                cos[-1].astype(jnp.float32), iters[-1].astype(jnp.float32),
+                res[-1].astype(jnp.float32)])
+            return (*arrs, du2, d2, t2, packed)
+
+        spec, scalar = self._spec, P_()
+        chunk = jax.jit(_shard_map(
+            chunk_local, self.mesh,
+            in_specs=(spec,) * n_carry + (scalar,) * 3,
+            out_specs=(spec,) * n_carry + (scalar,) * 4))
+
+        _, to_aligned_c, to_logical_c = case.adaptive_impl_carry()
+        to_logical_c = jax.jit(to_logical_c)
+        Hq8 = self._Hq8
+
+        def from_logical_a(st: State, dt):
+            g = to_aligned_c(st, dt)  # global quad carry State
+            fields = ((g.u, g.v, g.p, g.T) if flavor == "rayleigh_benard"
+                      else (g.u, g.v, g.p) if flavor == "backwards_step"
+                      else (g.u, g.v, g.p, g.p_prev))
+            return tuple(self._put(self._extend(np.asarray(a)))
+                         for a in fields)
+
+        def to_logical_s(state, dt_used):
+            arrs = [jnp.asarray(self._collapse(x)[:, :Hq8, :])
+                    for x in state]
+            if flavor == "rayleigh_benard":
+                st = State(arrs[0], arrs[1], arrs[2], arrs[3], None)
+            elif flavor == "backwards_step":
+                st = State(arrs[0], arrs[1], arrs[2], None, None)
+            else:
+                st = State(arrs[0], arrs[1], arrs[2], None, arrs[3])
+            return to_logical_c(st, jnp.asarray(dt_used, jnp.float32))
+
+        return chunk, from_logical_a, to_logical_s
 
     def logical(self, state) -> State:
         """Gather + correct to the logical padded (ny+2, nx+2) state (the

@@ -364,7 +364,8 @@ class Simulation:
         """State in the logical (ny+2, nx+2) layout for stats/export/
         checkpoint (identity unless the case carries an aligned state or
         the run is sharded)."""
-        if self._engine is not None and isinstance(state, tuple):
+        if (self._engine is not None and isinstance(state, tuple)
+                and not isinstance(state, State)):  # State is a NamedTuple
             return self._engine.logical(state)
         if (self._unalign is not None
                 and state.u.shape != self.case.grid.shape):
