@@ -101,6 +101,39 @@ def test_sharded_adaptive_channel_matches_single_device():
     _compare(ref_state, ref_rows, state, rows)
 
 
+def test_sharded_adaptive_checkpoint_resume(tmp_path):
+    """Sharded adaptive checkpoint (dt/t/dt_used extras) resumes to the
+    uninterrupted sharded trajectory (one f32 rounding at the logical
+    boundary, as the single-device lagged path)."""
+    from cfd_tpu.io.checkpoint import CheckpointManager
+
+    case = make_cavity_case(n_interior=64, dtype=jnp.float32,
+                            poisson="multigrid",
+                            step_kernel_mode="interpret", layout="quad",
+                            print_interval=2)
+    mesh = cpu_mesh_1d(4)
+
+    full = Simulation(case, log=lambda *a: None, mesh=mesh)
+    want, _ = run_adaptive(full, max_courant=0.5, n_steps=4,
+                           steps_per_call=2, controller="lagged")
+
+    sim1 = Simulation(case, log=lambda *a: None, mesh=mesh)
+    sim1.checkpointer = CheckpointManager(tmp_path, interval=2)
+    run_adaptive(sim1, max_courant=0.5, n_steps=2, steps_per_call=2,
+                 controller="lagged")
+
+    sim2 = Simulation(case, log=lambda *a: None, mesh=mesh)
+    sim2.checkpointer = CheckpointManager(tmp_path, interval=2)
+    got, _ = run_adaptive(sim2, max_courant=0.5, n_steps=4,
+                          steps_per_call=2, controller="lagged")
+
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(want, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=3e-5 * max(
+            1.0, float(np.abs(a).max())), err_msg=name)
+
+
 @pytest.mark.slow
 def test_sharded_adaptive_step_matches_single_device():
     """Masked 3-array carry + fluid-only mean + defect-correction solve."""
