@@ -425,6 +425,11 @@ class Simulation:
         if state is None:
             state = self.initial_state()
             if self.exporter is not None and start_step == 0:
+                # t=0 snapshot: the reference's CHANNEL solver writes it
+                # from the constructor (channel-01.cpp:351-355) while
+                # cavity/step write from run(); exporting uniformly here is
+                # output-identical (byte-tested in test_vtk.py) — only the
+                # call site differs.
                 self.exporter(self._logical(state), 0, 0.0)
         elif self._engine is not None and isinstance(state, State):
             # resumed from a checkpoint (stored in the logical layout)
