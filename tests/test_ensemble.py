@@ -22,8 +22,12 @@ def test_ensemble_matches_individual_runs():
         states, iters, residuals = step(states, nus)
 
     for k, re in enumerate(res):
-        case = make_cavity_case(n_interior=n, reynolds_number=re, dt=dt,
-                                final_time=1.0)
+        # the sweep's shared dt trips the factory's CFL advisory for the
+        # low-Re members (higher viscosity -> tighter diffusive number);
+        # expected here — the run is only 3 steps
+        with pytest.warns(UserWarning, match="stability limit"):
+            case = make_cavity_case(n_interior=n, reynolds_number=re, dt=dt,
+                                    final_time=1.0)
         sim = Simulation(case, log=quiet)
         st = sim.initial_state()
         for _ in range(3):
