@@ -86,6 +86,19 @@ def test_sharded_simulation_checkpoint_resume(tmp_path):
             1.0, float(np.abs(a).max())), err_msg=name)
 
 
+def test_cli_mesh_guards():
+    """--mesh guards fail fast with actionable messages."""
+    from cfd_tpu import cli
+
+    with pytest.raises(SystemExit, match="precision f32"):
+        cli.main(["cavity", "--mesh", "2", "--steps", "1", "--no-vtk",
+                  "--no-color"])
+    with pytest.raises(SystemExit, match="lagged"):
+        cli.main(["cavity", "--mesh", "2", "--precision", "f32",
+                  "--adaptive-dt", "0.5", "--steps", "1", "--no-vtk",
+                  "--no-color"])
+
+
 @pytest.mark.slow
 def test_cli_mesh_smoke(tmp_path):
     """`cfd_tpu.cli cavity --mesh 2 --precision f32` runs end-to-end on the
