@@ -366,6 +366,11 @@ class MGConfig:
     # sits at the dtype's roundoff floor (float32 runs hit it long before a
     # 1e-9-relative tolerance) — burning further cycles is pure waste.
     stall_ratio: float = 0.7
+    # Fuse the entire V-cycle below this GLOBAL level index into one Pallas
+    # call (kernels.mg_tail) — removes the per-level kernel launches and
+    # XLA restrict/prolong glue that dominate coarse-level cost. None = off.
+    # Honored by the f32 Pallas paths only (XLA/f64 paths ignore it).
+    tail_from: int | None = None
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:
@@ -537,6 +542,18 @@ def make_multigrid_poisson(
                 levels[k], cfg.omega, cfg.pre_sweeps,
                 with_residual_field=True, interpret=pallas_interpret,
                 aligned_io=aligned_io)
+    # fused coarse tail: ONE kernel for every level >= tail_from (launch/
+    # glue-bound region; see kernels.mg_tail). Same math as the recursion
+    # it replaces up to f32 contraction order in the transfer matmuls.
+    fused_tail = None
+    if (cfg.tail_from is not None and use_pallas
+            and 1 <= cfg.tail_from <= len(levels) - 2):
+        from cfd_tpu.kernels.mg_tail import make_mg_tail
+
+        fused_tail = make_mg_tail(
+            levels[cfg.tail_from:], cfg.omega, cfg.pre_sweeps,
+            cfg.post_sweeps, np.asarray(coarse_pinv, np.float32),
+            interpret=pallas_interpret)
     if exact_level0_fused is not None:
         pallas_pre0_field, pallas_post0_res = exact_level0_fused
 
@@ -567,6 +584,8 @@ def make_multigrid_poisson(
 
     def vcycle(k: int, p, b):
         level = levels[k]
+        if fused_tail is not None and k == cfg.tail_from:
+            return fused_tail(b)  # p is zeros at every k >= 1 call site
         if k == len(levels) - 1:
             return coarse_solve(b)
         if k == 0 and quad_level0 is not None:
@@ -842,8 +861,24 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
         out = jnp.zeros(bot.shape, dtype=b.dtype)
         return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
 
+    # fused coarse tail (kernels.mg_tail): cfg.tail_from is a GLOBAL level
+    # index — levels[0] here is global level 1 (the quad kernels are the
+    # global level 0), so tail_from=1 fuses this ENTIRE hierarchy into one
+    # kernel call between the quad pre and post kernels.
+    fused_tail, tail_k = None, None
+    if cfg.tail_from is not None:
+        start = cfg.tail_from - 1
+        if 0 <= start <= len(levels) - 2:
+            from cfd_tpu.kernels.mg_tail import make_mg_tail
+
+            fused_tail, tail_k = make_mg_tail(
+                levels[start:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
+                np.asarray(pinv, np.float32), interpret=interpret), start
+
     def cvcycle(k, p, b):
         level = levels[k]
+        if fused_tail is not None and k == tail_k:
+            return fused_tail(b)  # p is zeros at every call site
         if k == len(levels) - 1:
             return coarse_solve(b)
         p, r = pallas_pre_field[k](p, b)
