@@ -275,6 +275,18 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
         p = p + M._prolong(levels[k + 1], level, ec)
         return rep_smooth(level, p, b, cfg.post_sweeps)
 
+    # fused replicated tail (kernels.mg_tail): when cfg.tail_from is set,
+    # the ENTIRE replicated hierarchy below the SPMD level 1 runs as one
+    # Pallas call per device instead of per-level XLA dispatches — the
+    # multi-chip twin of the single-device tail_from knob.
+    fused_tail = None
+    if cfg.tail_from is not None and len(levels) >= 3:
+        from cfd_tpu.kernels.mg_tail import make_mg_tail
+
+        fused_tail = make_mg_tail(
+            levels[1:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
+            np.asarray(pinv, np.float32), interpret=interpret)
+
     def l1_solve(rc, jy):
         """Level-1 correction for the fresh-haloed local source rc:
         pre pairs + residual + (gather -> replicated levels 2.. -> local
@@ -295,7 +307,8 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
         r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)  # (Hq8s, W)
         r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
         rc2 = M._restrict(L1, levels[1], r_g)
-        e2 = rep_vcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
+        e2 = (fused_tail(rc2) if fused_tail is not None else
+              rep_vcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2))
         ef_g = M._prolong(levels[1], L1, e2)  # global (Hq8, W), every device
         ef_pad = jnp.pad(ef_g, ((DEV_HALO, Hq8s + DEV_HALO - Hq8), (0, 0)))
         ef = lax.dynamic_slice(
@@ -505,6 +518,16 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         p = p + M._prolong(levels[k + 1], level, ec)
         return pallas_post[k](p, b)
 
+    # fused replicated tail below the SPMD level 1 (see
+    # make_sharded_quad_solve; full-2D-weight flavor here)
+    fused_tail = None
+    if cfg.tail_from is not None and l1_spmd and len(levels) >= 3:
+        from cfd_tpu.kernels.mg_tail import make_mg_tail
+
+        fused_tail = make_mg_tail(
+            levels[1:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
+            np.asarray(pinv, np.float32), interpret=interpret)
+
     rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
     gmax = lambda x: lax.pmax(x, axis)
 
@@ -536,7 +559,8 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)
         r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
         rc2 = M._restrict(L1, levels[1], r_g)
-        e2 = cvcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
+        e2 = (fused_tail(rc2) if fused_tail is not None else
+              cvcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2))
         ef_g = M._prolong(levels[1], L1, e2)
         e = e + slice_local(ef_g, jy)
         for _ in range(cfg.post_sweeps):

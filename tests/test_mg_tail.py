@@ -145,6 +145,48 @@ def test_solve_with_tail_matches_without():
                                atol=50 * tol)
 
 
+def test_sharded_quad_tail_matches_single_device():
+    """Sharded cavity with the fused replicated tail (mg_overrides
+    tail_from) == the single-device quad trajectory to f32 roundoff,
+    V-cycle counts within +-1 (same bound as the non-tail sharded tests:
+    cross-program FMA contraction at the stall floor)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cfd_tpu.cases import make_cavity_case
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadCavity
+    from cfd_tpu.solver import Simulation
+
+    case = make_cavity_case(n_interior=64, dtype=jnp.float32,
+                            poisson="multigrid",
+                            step_kernel_mode="interpret", layout="quad")
+    sim = Simulation(case, log=lambda *a: None)
+    st = sim.initial_state()
+    single_iters = []
+    for _ in range(3):
+        st, d = sim._step(st)
+        single_iters.append(int(d.poisson_iters))
+    ref = sim._logical(st)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("dy",))
+    sq = ShardedQuadCavity(case, mesh, interpret=True,
+                           mg_overrides={"tail_from": 1})
+    state = sq.initial_state()
+    shard_iters = []
+    for _ in range(3):
+        state, d = sq.step(state)
+        shard_iters.append(int(d["poisson_iters"]))
+    got = sq.logical(state)
+
+    assert all(abs(a - b) <= 1 for a, b in zip(shard_iters, single_iters)), \
+        (shard_iters, single_iters)
+    for name in ("u", "v", "p"):
+        a = np.asarray(getattr(ref, name))
+        b = np.asarray(getattr(got, name))
+        np.testing.assert_allclose(b, a, rtol=0, atol=2e-5 * max(
+            1.0, float(np.abs(a).max())), err_msg=name)
+
+
 def test_cavity_quad_step_with_tail_matches_quad():
     """Full production integration: the quad cavity f32 step with
     mg_overrides={'tail_from': 1} reproduces the plain quad step's

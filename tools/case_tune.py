@@ -61,6 +61,8 @@ def main():
 
     variants = [
         ("V(2,1) mc4 [current]", {}),
+        ("V(2,1) tail1", {"tail_from": 1}),
+        ("V(2,1) tail2", {"tail_from": 2}),
         ("V(2,2) mc4", {"post_sweeps": 2}),
         ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
         ("V(2,2) mc16", {"post_sweeps": 2, "min_coarse": 16}),
@@ -73,8 +75,17 @@ def main():
         variants = [
             ("V(2,2) mc4 [current]", {"post_sweeps": 2}),
             ("V(2,1) mc4", {"post_sweeps": 1}),
+            ("V(2,1) tail1", {"post_sweeps": 1, "tail_from": 1}),
+            ("V(2,1) tail2", {"post_sweeps": 1, "tail_from": 2}),
             ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
             ("V(2,1) mc16", {"post_sweeps": 1, "min_coarse": 16}),
+        ]
+    if which in ("cavity", "cavity4096"):
+        variants = [
+            ("V(2,1) mc4 [current]", {}),
+            ("V(2,1) tail1", {"tail_from": 1}),
+            ("V(2,1) tail2", {"tail_from": 2}),
+            ("V(2,1) tail3", {"tail_from": 3}),
         ]
     for name, ov in variants:
         if which == "step":
@@ -89,6 +100,13 @@ def main():
             case = make_channel_case(
                 nx=1536, ny=512, dtype=jnp.float32, poisson="multigrid",
                 tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
+        elif which in ("cavity", "cavity4096"):
+            from cfd_tpu.cases import make_cavity_case
+
+            case = make_cavity_case(
+                n_interior=4096 if which == "cavity4096" else 2048,
+                dtype=jnp.float32, poisson="multigrid",
+                tolerance_factor=1e-6, mg_overrides=ov)
         else:
             from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
 
