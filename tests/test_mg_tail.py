@@ -145,6 +145,68 @@ def test_solve_with_tail_matches_without():
                                atol=50 * tol)
 
 
+def _compare_quad_vs_tail(make, kw, steps=3, names=("u", "v", "p"),
+                          atol=1e-4):
+    """Trajectory of the quad case WITH mg_overrides tail_from==1 vs the
+    same quad case without: cycle counts within +-1 (f32 contraction-order
+    difference in the tail's transfer matmuls vs reduce_window can flip a
+    stall-exit cycle), fields to f32 roundoff accumulation."""
+    from cfd_tpu.solver import Simulation
+
+    ref_case = make(**kw)
+    ov = dict(kw.pop("mg_overrides", {}), tail_from=1)
+    tail_case = make(mg_overrides=ov, **kw)
+    sim_a = Simulation(ref_case, log=lambda *a: None)
+    sim_b = Simulation(tail_case, log=lambda *a: None)
+    sa, sb = sim_a.initial_state(), sim_b.initial_state()
+    for k in range(steps):
+        sa, da = sim_a._step(sa)
+        sb, db = sim_b._step(sb)
+        assert abs(int(db.poisson_iters) - int(da.poisson_iters)) <= 1, k
+    la, lb = sim_a._logical(sa), sim_b._logical(sb)
+    for name in names:
+        a, b = np.asarray(getattr(la, name)), np.asarray(getattr(lb, name))
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol * scale,
+                                   err_msg=name)
+
+
+def test_step_quad_with_tail_matches_quad():
+    """Masked backwards-step quad path: cfg.tail_from fuses the full-2D-
+    weight coarse hierarchy (cvcycle) into one kernel."""
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+
+    _compare_quad_vs_tail(
+        make_backwards_step_case,
+        dict(nx=64, ny=16, dtype=jnp.float32, poisson="multigrid",
+             tolerance_factor=1e-5, layout="quad",
+             smoother_mode="interpret"))
+
+
+def test_rb_quad_with_tail_matches_quad():
+    """Rayleigh-Benard quad path: the tail composes with the pure-Neumann
+    pin_mean (applied at level 0, outside the tail) and the singular
+    coarsest pinv."""
+    from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+    _compare_quad_vs_tail(
+        make_rayleigh_benard_case,
+        dict(nx=48, ny=16, rayleigh=1e5, dtype=jnp.float32,
+             tolerance_factor=1e-5, abs_tol=1e-7,
+             step_kernel_mode="interpret", layout="quad"),
+        names=("u", "v", "p", "T"))
+
+
+def test_channel_quad_with_tail_matches_quad():
+    from cfd_tpu.cases.channel import make_channel_case
+
+    _compare_quad_vs_tail(
+        make_channel_case,
+        dict(nx=64, ny=32, dtype=jnp.float32, poisson="multigrid",
+             tolerance_factor=1e-5, layout="quad",
+             step_kernel_mode="interpret"))
+
+
 def test_sharded_quad_tail_matches_single_device():
     """Sharded cavity with the fused replicated tail (mg_overrides
     tail_from) == the single-device quad trajectory to f32 roundoff,
