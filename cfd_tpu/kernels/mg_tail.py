@@ -48,6 +48,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _dot(a, b):
+    """f32 matmul at HIGHEST precision: the transfers these replace
+    (reduce_window restriction, stack+reshape prolongation) are exact-f32
+    adds; default TPU matmul precision is single-pass bf16 and would feed
+    ~1e-3-relative rounding into the coarse corrections."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _transfer_matrices(fine, coarse):
     """(Rr, Rc, Pr, Pc) f32 numpy matrices between two ALIGNED levels.
 
@@ -232,9 +241,7 @@ def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
                               omega, wE, wW, wN, wS, red, black, inv_diag)
             r = _residual(lv, p, b[k], interior, wE, wW, wN, wS)
             Rr, Rc = cref[t_idx[k]][...], cref[t_idx[k] + 1][...]
-            b[k + 1] = jnp.dot(jnp.dot(Rr, r,
-                                       preferred_element_type=jnp.float32),
-                               Rc, preferred_element_type=jnp.float32)
+            b[k + 1] = _dot(_dot(Rr, r), Rc)
             ps[k] = p
 
         # coarsest: dense pseudo-inverse via lane-space blocks
@@ -245,9 +252,10 @@ def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
         for jp in range(1, nyb + 1):
             for j in range(1, nyb + 1):
                 Mi = cref[m_idx + (jp - 1) * nyb + (j - 1)][...]
-                contrib = jnp.dot(jnp.roll(bb, jp - j, axis=0), Mi,
-                                  preferred_element_type=jnp.float32)
-                e = jnp.where(rows_b == jp, e + contrib, e)
+                # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits
+                # (same guard as kernels.projection._roll)
+                rolled = bb if jp == j else jnp.roll(bb, jp - j, axis=0)
+                e = jnp.where(rows_b == jp, e + _dot(rolled, Mi), e)
 
         # ascent: prolong, correct, post-smooth
         for k in range(K - 2, -1, -1):
@@ -256,9 +264,7 @@ def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
             interior, red, black, inv_diag = _lv_masks_invdiag(
                 lv, wE, wW, wN, wS)
             Pr, Pc = cref[t_idx[k] + 2][...], cref[t_idx[k] + 3][...]
-            ef = jnp.dot(jnp.dot(Pr, e,
-                                 preferred_element_type=jnp.float32),
-                         Pc, preferred_element_type=jnp.float32)
+            ef = _dot(_dot(Pr, e), Pc)
             p = ps[k] + jnp.where(interior, ef, jnp.zeros_like(ef))
             e = _smooth_pairs(lv, p, b[k], post_sweeps, omega,
                               wE, wW, wN, wS, red, black, inv_diag)

@@ -266,6 +266,8 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
 
     def rep_vcycle(k, p, b):
         level = levels[k]
+        if fused_tail is not None and k == tail_k:
+            return fused_tail(b)  # p is zeros at every call site
         if k == len(levels) - 1:
             return coarse_solve(b)
         p = rep_smooth(level, p, b, cfg.pre_sweeps)
@@ -275,17 +277,21 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
         p = p + M._prolong(levels[k + 1], level, ec)
         return rep_smooth(level, p, b, cfg.post_sweeps)
 
-    # fused replicated tail (kernels.mg_tail): when cfg.tail_from is set,
-    # the ENTIRE replicated hierarchy below the SPMD level 1 runs as one
-    # Pallas call per device instead of per-level XLA dispatches — the
-    # multi-chip twin of the single-device tail_from knob.
-    fused_tail = None
-    if cfg.tail_from is not None and len(levels) >= 3:
-        from cfd_tpu.kernels.mg_tail import make_mg_tail
+    # fused replicated tail (kernels.mg_tail): from GLOBAL level
+    # cfg.tail_from down, the replicated hierarchy runs as one Pallas call
+    # per device instead of per-level XLA dispatches — the multi-chip twin
+    # of the single-device tail_from knob. levels[k] is global level k+1;
+    # the replicated region starts at levels[1] (global 2), so requests
+    # shallower than that clamp to it.
+    fused_tail, tail_k = None, None
+    if cfg.tail_from is not None:
+        start = max(1, cfg.tail_from - 1)
+        if start <= len(levels) - 2:
+            from cfd_tpu.kernels.mg_tail import make_mg_tail
 
-        fused_tail = make_mg_tail(
-            levels[1:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
-            np.asarray(pinv, np.float32), interpret=interpret)
+            fused_tail, tail_k = make_mg_tail(
+                levels[start:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
+                np.asarray(pinv, np.float32), interpret=interpret), start
 
     def l1_solve(rc, jy):
         """Level-1 correction for the fresh-haloed local source rc:
@@ -307,8 +313,7 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
         r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)  # (Hq8s, W)
         r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
         rc2 = M._restrict(L1, levels[1], r_g)
-        e2 = (fused_tail(rc2) if fused_tail is not None else
-              rep_vcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2))
+        e2 = rep_vcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
         ef_g = M._prolong(levels[1], L1, e2)  # global (Hq8, W), every device
         ef_pad = jnp.pad(ef_g, ((DEV_HALO, Hq8s + DEV_HALO - Hq8), (0, 0)))
         ef = lax.dynamic_slice(
@@ -434,9 +439,16 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
     # replicated Pallas tail then starts at levels[1]
     l1_spmd = len(levels) >= 2
     rep_lo = 1 if l1_spmd else 0
+    # fused-tail start (levels index; global level tail_k+1) decided up
+    # front so per-level closures are only built for reachable levels
+    tail_k = None
+    if cfg.tail_from is not None and l1_spmd:
+        _start = max(1, cfg.tail_from - 1)
+        if _start <= len(levels) - 2:
+            tail_k = _start
     pallas_pre_field = {}
     pallas_post = {}
-    for k in range(rep_lo, len(levels) - 1):
+    for k in range(rep_lo, len(levels) - 1 if tail_k is None else tail_k):
         pallas_pre_field[k] = rb_pairs_for_level(
             levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
             interpret=interpret, aligned_io=True)
@@ -507,8 +519,21 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         out = jnp.zeros(bot.shape, dtype=b.dtype)
         return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
 
+    # fused replicated tail below the SPMD level 1 (see
+    # make_sharded_quad_solve; full-2D-weight flavor here). levels[k] is
+    # global level k+1; the replicated region starts at levels[1].
+    fused_tail = None
+    if tail_k is not None:
+        from cfd_tpu.kernels.mg_tail import make_mg_tail
+
+        fused_tail = make_mg_tail(
+            levels[tail_k:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
+            np.asarray(pinv, np.float32), interpret=interpret)
+
     def cvcycle(k, p, b):
         level = levels[k]
+        if fused_tail is not None and k == tail_k:
+            return fused_tail(b)  # p is zeros at every call site
         if k == len(levels) - 1:
             return coarse_solve(b)
         p, r = pallas_pre_field[k](p, b)
@@ -517,16 +542,6 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
                      rc)
         p = p + M._prolong(levels[k + 1], level, ec)
         return pallas_post[k](p, b)
-
-    # fused replicated tail below the SPMD level 1 (see
-    # make_sharded_quad_solve; full-2D-weight flavor here)
-    fused_tail = None
-    if cfg.tail_from is not None and l1_spmd and len(levels) >= 3:
-        from cfd_tpu.kernels.mg_tail import make_mg_tail
-
-        fused_tail = make_mg_tail(
-            levels[1:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
-            np.asarray(pinv, np.float32), interpret=interpret)
 
     rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
     gmax = lambda x: lax.pmax(x, axis)
@@ -559,8 +574,7 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         r_g = lax.all_gather(r_own, axis, axis=0, tiled=True)
         r_g = lax.slice_in_dim(r_g, 0, Hq8, axis=0)
         rc2 = M._restrict(L1, levels[1], r_g)
-        e2 = (fused_tail(rc2) if fused_tail is not None else
-              cvcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2))
+        e2 = cvcycle(1, jnp.zeros(levels[1].shape, dtype=rc2.dtype), rc2)
         ef_g = M._prolong(levels[1], L1, e2)
         e = e + slice_local(ef_g, jy)
         for _ in range(cfg.post_sweeps):

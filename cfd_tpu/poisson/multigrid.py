@@ -503,12 +503,20 @@ def make_multigrid_poisson(
         bot_ny, bot_nx = bot.ny, bot.nx
     if quad_level0 is not None and not aligned_io:
         raise ValueError("quad_level0 requires aligned_io coarse levels")
+    # fused-coarse-tail activation decided up front so the per-level
+    # smoother closures below are only built for levels the vcycle can
+    # actually reach (k < tail_from)
+    tail_from = None
+    if (cfg.tail_from is not None and use_pallas
+            and 1 <= cfg.tail_from <= len(levels) - 2):
+        tail_from = cfg.tail_from
+    reachable = len(levels) if tail_from is None else tail_from
     pallas_pairs = {}
     pallas_post0_res = None
     if use_pallas:
         from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
 
-        for k, lv in enumerate(levels):
+        for k, lv in enumerate(levels[:reachable]):
             if k == 0 and quad_level0 is not None:
                 continue  # finest level runs the fused quad kernels
             pallas_pairs[k] = {
@@ -537,7 +545,7 @@ def make_multigrid_poisson(
     # per level replaces smooth_pair + the whole-array XLA residual pass
     pallas_pre_field = {}
     if use_pallas:
-        for k in range(1, len(levels) - 1):
+        for k in range(1, min(reachable, len(levels) - 1)):
             pallas_pre_field[k] = rb_pairs_for_level(
                 levels[k], cfg.omega, cfg.pre_sweeps,
                 with_residual_field=True, interpret=pallas_interpret,
@@ -546,12 +554,11 @@ def make_multigrid_poisson(
     # glue-bound region; see kernels.mg_tail). Same math as the recursion
     # it replaces up to f32 contraction order in the transfer matmuls.
     fused_tail = None
-    if (cfg.tail_from is not None and use_pallas
-            and 1 <= cfg.tail_from <= len(levels) - 2):
+    if tail_from is not None:
         from cfd_tpu.kernels.mg_tail import make_mg_tail
 
         fused_tail = make_mg_tail(
-            levels[cfg.tail_from:], cfg.omega, cfg.pre_sweeps,
+            levels[tail_from:], cfg.omega, cfg.pre_sweeps,
             cfg.post_sweeps, np.asarray(coarse_pinv, np.float32),
             interpret=pallas_interpret)
     if exact_level0_fused is not None:
@@ -584,7 +591,7 @@ def make_multigrid_poisson(
 
     def vcycle(k: int, p, b):
         level = levels[k]
-        if fused_tail is not None and k == cfg.tail_from:
+        if fused_tail is not None and k == tail_from:
             return fused_tail(b)  # p is zeros at every k >= 1 call site
         if k == len(levels) - 1:
             return coarse_solve(b)
@@ -839,28 +846,6 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
         grid.shape, step_i, inlet_j, idx2, idy2, cfg.omega, cfg.post_sweeps,
         (Hq8, Wqa), interpret=interpret)
 
-    # coarse smoothing: fused full-weight (2D) Pallas pairs per level — one
-    # kernel per smoothing block instead of dozens of small whole-array XLA
-    # fusions (the kernels.rb_smoother full_w mode; bitwise-identical to
-    # the XLA masked composition)
-    from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
-
-    pallas_pre_field = {}
-    pallas_post = {}
-    for k in range(len(levels) - 1):
-        pallas_pre_field[k] = rb_pairs_for_level(
-            levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
-            interpret=interpret, aligned_io=True)
-        pallas_post[k] = rb_pairs_for_level(
-            levels[k], cfg.omega, cfg.post_sweeps, interpret=interpret,
-            aligned_io=True)
-
-    def coarse_solve(b):
-        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
-        e = (pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
-        out = jnp.zeros(bot.shape, dtype=b.dtype)
-        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
-
     # fused coarse tail (kernels.mg_tail): cfg.tail_from is a GLOBAL level
     # index — levels[0] here is global level 1 (the quad kernels are the
     # global level 0), so tail_from=1 fuses this ENTIRE hierarchy into one
@@ -874,6 +859,30 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
             fused_tail, tail_k = make_mg_tail(
                 levels[start:], cfg.omega, cfg.pre_sweeps, cfg.post_sweeps,
                 np.asarray(pinv, np.float32), interpret=interpret), start
+
+    # coarse smoothing: fused full-weight (2D) Pallas pairs per level — one
+    # kernel per smoothing block instead of dozens of small whole-array XLA
+    # fusions (the kernels.rb_smoother full_w mode; bitwise-identical to
+    # the XLA masked composition); only for levels the fused tail (if any)
+    # leaves reachable
+    from cfd_tpu.kernels.rb_smoother import rb_pairs_for_level
+
+    reachable = len(levels) - 1 if tail_k is None else tail_k
+    pallas_pre_field = {}
+    pallas_post = {}
+    for k in range(reachable):
+        pallas_pre_field[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.pre_sweeps, with_residual_field=True,
+            interpret=interpret, aligned_io=True)
+        pallas_post[k] = rb_pairs_for_level(
+            levels[k], cfg.omega, cfg.post_sweeps, interpret=interpret,
+            aligned_io=True)
+
+    def coarse_solve(b):
+        vec = b[1 : bot_ny + 1, 1 : bot_nx + 1].reshape(-1)
+        e = (pinv.astype(b.dtype) @ vec).reshape(bot_ny, bot_nx)
+        out = jnp.zeros(bot.shape, dtype=b.dtype)
+        return out.at[1 : bot_ny + 1, 1 : bot_nx + 1].set(e)
 
     def cvcycle(k, p, b):
         level = levels[k]

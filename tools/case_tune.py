@@ -88,32 +88,35 @@ def main():
             ("V(2,1) tail3", {"tail_from": 3}),
         ]
     for name, ov in variants:
-        if which == "step":
-            from cfd_tpu.cases import make_backwards_step_case
-
-            case = make_backwards_step_case(
-                nx=2048, ny=256, dtype=jnp.float32, poisson="multigrid",
-                tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
-        elif which == "channel":
-            from cfd_tpu.cases import make_channel_case
-
-            case = make_channel_case(
-                nx=1536, ny=512, dtype=jnp.float32, poisson="multigrid",
-                tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
-        elif which in ("cavity", "cavity4096"):
-            from cfd_tpu.cases import make_cavity_case
-
-            case = make_cavity_case(
-                n_interior=4096 if which == "cavity4096" else 2048,
-                dtype=jnp.float32, poisson="multigrid",
-                tolerance_factor=1e-6, mg_overrides=ov)
-        else:
-            from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
-
-            case = make_rayleigh_benard_case(
-                nx=1536, ny=512, rayleigh=1e6, dtype=jnp.float32,
-                mg_overrides=ov)
         try:
+            # case construction inside the try: make_mg_tail raises at
+            # BUILD time when a tail request exceeds the VMEM cap (e.g.
+            # cavity4096 tail1) and the sweep must keep going
+            if which == "step":
+                from cfd_tpu.cases import make_backwards_step_case
+
+                case = make_backwards_step_case(
+                    nx=2048, ny=256, dtype=jnp.float32, poisson="multigrid",
+                    tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
+            elif which == "channel":
+                from cfd_tpu.cases import make_channel_case
+
+                case = make_channel_case(
+                    nx=1536, ny=512, dtype=jnp.float32, poisson="multigrid",
+                    tolerance_factor=1e-6, abs_tol=0.0, mg_overrides=ov)
+            elif which in ("cavity", "cavity4096"):
+                from cfd_tpu.cases import make_cavity_case
+
+                case = make_cavity_case(
+                    n_interior=4096 if which == "cavity4096" else 2048,
+                    dtype=jnp.float32, poisson="multigrid",
+                    tolerance_factor=1e-6, mg_overrides=ov)
+            else:
+                from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+                case = make_rayleigh_benard_case(
+                    nx=1536, ny=512, rayleigh=1e6, dtype=jnp.float32,
+                    mg_overrides=ov)
             sps, mc, cs = bench(case, steps, chunk)
             print(f"{which} {name:22s}: {sps:8.2f} steps/s, "
                   f"{mc:.2f} cycles/step, compile {cs:.0f}s", flush=True)

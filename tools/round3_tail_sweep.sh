@@ -11,6 +11,10 @@ echo "=== tail sweep start $(date) ===" >> "$LOG"
 for mode in step rb channel cavity cavity4096; do
   echo "--- case_tune $mode $(date +%T) ---" >> "$LOG"
   timeout 3000 python tools/case_tune.py "$mode" 150 50 >> "$LOG" 2>&1
-  echo "--- $mode done rc=$? $(date +%T) ---" >> "$LOG"
+  rc=$?
+  echo "--- $mode done rc=$rc $(date +%T) ---" >> "$LOG"
+  # a timeout-killed TPU process wedges the chip ~2 min; never chain
+  # the next process into the wedge (CLAUDE.md)
+  if [ "$rc" -ne 0 ]; then sleep 150; fi
 done
 echo "=== tail sweep end $(date) ===" >> "$LOG"
