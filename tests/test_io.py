@@ -77,8 +77,9 @@ def test_blowup_detection():
     """A CFL-violating dt must abort with a diagnosable error instead of
     silently streaming NaNs (reference behavior: continues anyway,
     cavity-01.cpp:681-684)."""
-    case = make_cavity_case(n_interior=15, dt=1.0, final_time=10.0,
-                            print_interval=1)
+    with pytest.warns(UserWarning, match="stability limit"):
+        case = make_cavity_case(n_interior=15, dt=1.0, final_time=10.0,
+                                print_interval=1)
     sim = Simulation(case, log=quiet)
     with pytest.raises(RuntimeError, match="diverged"):
         sim.run(n_steps=10)
