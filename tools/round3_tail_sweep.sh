@@ -8,6 +8,29 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 echo "=== tail sweep start $(date) ===" >> "$LOG"
+# Mosaic smoke first: a small-grid tail compile fails in seconds if any
+# in-kernel op is rejected, instead of after a 2048^2 compile
+timeout 1200 python - >> "$LOG" 2>&1 <<'EOF'
+import jax, jax.numpy as jnp
+from cfd_tpu.cases import make_cavity_case
+from cfd_tpu.solver import Simulation, make_step
+case = make_cavity_case(n_interior=256, dtype=jnp.float32,
+                        poisson="multigrid", tolerance_factor=1e-5,
+                        mg_overrides={"tail_from": 1})
+sim = Simulation(case, log=lambda *a: None)
+step = jax.jit(make_step(case))
+st = sim.initial_state()
+for _ in range(3):
+    st, d = step(st)
+jax.block_until_ready(st.u)
+print("TAIL MOSAIC SMOKE OK, cycles:", int(d.poisson_iters))
+EOF
+rc=$?
+echo "--- smoke rc=$rc $(date +%T) ---" >> "$LOG"
+if [ "$rc" -ne 0 ]; then
+  echo "SMOKE FAILED - skipping tail sweeps, running baseline modes only" >> "$LOG"
+  sleep 150
+fi
 for mode in step rb channel cavity cavity4096; do
   echo "--- case_tune $mode $(date +%T) ---" >> "$LOG"
   timeout 3000 python tools/case_tune.py "$mode" 150 50 >> "$LOG" 2>&1
