@@ -39,6 +39,7 @@ def make_cavity_case(
     step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
     layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
     mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
+    forcing: tuple | None = None,  # (fx, fy) body-force arrays on u/v faces
 ) -> Case:
     ensure_dtype_enabled(dtype)
     # systematic constructor checks (cavity-01.cpp:417-425 made runtime)
@@ -107,6 +108,7 @@ def make_cavity_case(
     platform = dev.platform if dev is not None else _jax.default_backend()
     interp = step_kernel_mode == "interpret"
     if (_np.dtype(dtype) == _np.float32 and poisson == "multigrid"
+            and forcing is None  # body forces run the XLA step paths
             and (interp or (step_kernel_mode == "auto" and platform == "tpu"))):
         from cfd_tpu.kernels.projection import make_corrector, make_predictor_source
         from cfd_tpu.poisson.multigrid import _round_up8_128
@@ -318,6 +320,7 @@ def make_cavity_case(
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        forcing=forcing,
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,

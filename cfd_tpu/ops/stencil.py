@@ -82,11 +82,18 @@ def predictor(
     c: StencilCoeffs,
     u_valid: jnp.ndarray,
     v_valid: jnp.ndarray,
+    fx: jnp.ndarray | None = None,
+    fy: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Tentative velocities u*, v*: 2nd-order central diffusion plus
     flux-form (skew-symmetric) central convection, Forward-Euler update
     (cavity-01.cpp:548-603 with anisotropic spacings per
     channel-01.cpp:546-603).
+
+    ``fx``/``fy``: optional body-force (momentum source) arrays on the
+    u-/v-faces, added as +dt*f — the framework extension the reference has
+    no analog for (body forces, MMS verification sources; see
+    cfd_tpu.validation.manufactured_solution).
 
     Outside the valid-face masks the result is 0, matching the reference's
     zeroed invalid faces (backwards_step-01.cpp:758-761) and the
@@ -107,7 +114,8 @@ def predictor(
     u_n = 0.5 * (uN + u)
     u_s = 0.5 * (uS + u)
     conv_uy = (v_n * u_n - v_s * u_s) * idy
-    u_star = u + dt * (nu * lap_u - conv_ux - conv_uy)
+    u_star = u + dt * (nu * lap_u - conv_ux - conv_uy
+                       + (fx if fx is not None else 0.0))
 
     # --- v-momentum on y-faces (cavity-01.cpp:579-601) ---
     lap_v = (vE - 2.0 * v + vW) * idx2 + (vN - 2.0 * v + vS) * idy2
@@ -119,7 +127,8 @@ def predictor(
     v_e2 = 0.5 * (v + vE)
     v_w2 = 0.5 * (vW + v)
     conv_vx = (u_e2 * v_e2 - u_w2 * v_w2) * idx
-    v_star = v + dt * (nu * lap_v - conv_vy - conv_vx)
+    v_star = v + dt * (nu * lap_v - conv_vy - conv_vx
+                       + (fy if fy is not None else 0.0))
 
     zero = jnp.zeros_like(u)
     return jnp.where(u_valid, u_star, zero), jnp.where(v_valid, v_star, zero)

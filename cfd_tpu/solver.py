@@ -97,6 +97,11 @@ class Case:
     align_state: Optional[Callable] = None
     unalign_state: Optional[Callable] = None
     custom_step: Optional[Callable] = None
+    # Optional body-force (momentum source) arrays on the u-/v-faces,
+    # applied as +dt*f in the predictor — framework extension (no reference
+    # analog): gravity-style sources and MMS verification forcing
+    # (cfd_tpu.validation.manufactured_solution). XLA step paths only.
+    forcing: Optional[tuple] = None
     # Adaptive-dt fast path (round-3 item 5): a factory-provided builder
     # returning (step(state, dt) -> (state, diag, courant_per_dt),
     # to_aligned(logical_state), to_logical(state)) with dt TRACED into the
@@ -248,11 +253,13 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                 StepDiagnostics(iters, res)
 
     elif case.ordering == "cavity":
+        fx, fy = (jnp.asarray(case.forcing[0]), jnp.asarray(case.forcing[1])) \
+            if case.forcing is not None else (None, None)
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
             cell, u_valid, v_valid, u_range, v_range = masks()
             u, v = bc(state.u, state.v)
-            us, vs = predictor(u, v, c, u_valid, v_valid)
+            us, vs = predictor(u, v, c, u_valid, v_valid, fx=fx, fy=fy)
             b = poisson_source(us, vs, c, cell, remove_mean=False, n_cells=n_fluid)
             guess = 2.0 * state.p - state.p_prev if extrap else state.p
             p, iters, res = case.poisson_solve(guess, b)
@@ -264,10 +271,13 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
 
     elif case.ordering == "channel":
         zero_else = True  # invalid in-range faces are zeroed (backwards_step-01.cpp:956,972)
+        fx, fy = (jnp.asarray(case.forcing[0]), jnp.asarray(case.forcing[1])) \
+            if case.forcing is not None else (None, None)
 
         def step(state: State) -> tuple[State, StepDiagnostics]:
             cell, u_valid, v_valid, u_range, v_range = masks()
-            us, vs = predictor(state.u, state.v, c, u_valid, v_valid)
+            us, vs = predictor(state.u, state.v, c, u_valid, v_valid,
+                               fx=fx, fy=fy)
             us, vs = bc(us, vs)
             b = poisson_source(
                 us, vs, c, cell, remove_mean=case.remove_source_mean, n_cells=n_fluid

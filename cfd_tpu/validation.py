@@ -173,3 +173,87 @@ def reattachment_length(u: np.ndarray, grid: Grid, step_x: float,
     f0, f1 = row[idx - 1], row[idx]
     xr = x0 + (0.0 - f0) * (x1 - x0) / (f1 - f0)
     return float(xr - step_x)
+
+
+# --------------------------------------------------------------------- #
+# Method of Manufactured Solutions (MMS): steady forced Navier-Stokes
+# verification of the discretization's spatial order. No reference analog
+# (the reference has no body-force term at all); this is the standard
+# order-of-accuracy evidence for the scheme the reference claims is
+# "2nd-order central" (cavity-01.cpp:7-9).
+#
+# Exact fields from the streamfunction psi = sin^2(pi x) sin^2(pi y) on the
+# unit box (velocities vanish on all walls -> the cavity's no-slip BC
+# machinery applies exactly, with lid_velocity = 0):
+#   u =  d(psi)/dy =  pi sin^2(pi x) sin(2 pi y)
+#   v = -d(psi)/dx = -pi sin(2 pi x) sin^2(pi y)      (divergence-free)
+#   p = cos(pi x) cos(pi y)                            (zero-mean)
+# Steady momentum gives the body force
+#   f = (u . grad) u + grad(p)/rho - nu lap(u).
+# --------------------------------------------------------------------- #
+
+def mms_exact(x, y):
+    """(u, v, p) of the manufactured solution at coordinates (x, y)."""
+    pi = np.pi
+    u = pi * np.sin(pi * x) ** 2 * np.sin(2 * pi * y)
+    v = -pi * np.sin(2 * pi * x) * np.sin(pi * y) ** 2
+    p = np.cos(pi * x) * np.cos(pi * y)
+    return u, v, p
+
+
+def _mms_force(x, y, viscosity: float, density: float):
+    """(fx, fy): steady-momentum residual of the exact fields (analytic
+    derivatives; spot-checked against numerical differentiation in
+    tests/test_mms.py)."""
+    pi = np.pi
+    sx, cx = np.sin(pi * x), np.cos(pi * x)
+    sy, cy = np.sin(pi * y), np.cos(pi * y)
+    s2x, c2x = np.sin(2 * pi * x), np.cos(2 * pi * x)
+    s2y, c2y = np.sin(2 * pi * y), np.cos(2 * pi * y)
+
+    u = pi * sx**2 * s2y
+    v = -pi * s2x * sy**2
+    du_dx = pi**2 * s2x * s2y
+    du_dy = 2 * pi**2 * sx**2 * c2y
+    lap_u = 2 * pi**3 * c2x * s2y - 4 * pi**3 * sx**2 * s2y
+    dv_dx = -2 * pi**2 * c2x * sy**2
+    dv_dy = -pi**2 * s2x * s2y
+    lap_v = 4 * pi**3 * s2x * sy**2 - 2 * pi**3 * s2x * c2y
+    dp_dx = -pi * sx * cy
+    dp_dy = -pi * cx * sy
+
+    fx = u * du_dx + v * du_dy + dp_dx / density - viscosity * lap_u
+    fy = u * dv_dx + v * dv_dy + dp_dy / density - viscosity * lap_v
+    return fx, fy
+
+
+def manufactured_solution(grid: Grid, viscosity: float, density: float = 1.0):
+    """Exact MAC-grid fields and forcing arrays for the MMS case.
+
+    Returns (u_ex, v_ex, p_ex, fx, fy) as full padded (ny+2, nx+2) float64
+    arrays: u_ex/fx on the u-faces (x = i dx, y = (j-1/2) dy), v_ex/fy on
+    the v-faces (x = (i-1/2) dx, y = j dy), p_ex at cell centers. Entries
+    outside the valid face/cell ranges are 0."""
+    ny, nx = grid.ny, grid.nx
+    dx, dy = grid.dx, grid.dy
+    jj, ii = np.meshgrid(np.arange(ny + 2), np.arange(nx + 2), indexing="ij")
+
+    xu, yu = ii * dx, (jj - 0.5) * dy
+    u_ex, _, _ = mms_exact(xu, yu)
+    fx, _ = _mms_force(xu, yu, viscosity, density)
+    u_valid = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx - 1)
+    u_ex = np.where(u_valid, u_ex, 0.0)
+    fx = np.where(u_valid, fx, 0.0)
+
+    xv, yv = (ii - 0.5) * dx, jj * dy
+    _, v_ex, _ = mms_exact(xv, yv)
+    _, fy = _mms_force(xv, yv, viscosity, density)
+    v_valid = (jj >= 1) & (jj <= ny - 1) & (ii >= 1) & (ii <= nx)
+    v_ex = np.where(v_valid, v_ex, 0.0)
+    fy = np.where(v_valid, fy, 0.0)
+
+    xp, yp = (ii - 0.5) * dx, (jj - 0.5) * dy
+    _, _, p_ex = mms_exact(xp, yp)
+    cell = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    p_ex = np.where(cell, p_ex, 0.0)
+    return u_ex, v_ex, p_ex, fx, fy
