@@ -141,3 +141,46 @@ def test_reference_eps_quirk_costs_an_order():
     assert 0.6 <= order_u <= 1.5, (e32, e64, order_u)
     # and the quirk's error is strictly worse than the clean operator's
     assert e64["u"] > 2.0 * 0.0012, e64  # neumann e64 u-error is ~0.0011
+
+
+def test_temporal_order_is_first():
+    """Forward-Euler + projection splitting is O(dt): Richardson study on
+    the unforced decaying MMS initial condition at fixed grid/time —
+    errors vs a dt/8 reference halve when dt halves (the spatial error is
+    identical across runs and cancels in the differences)."""
+    import dataclasses
+
+    import jax
+
+    from cfd_tpu.grid import Grid
+    from cfd_tpu.validation import manufactured_solution
+
+    n, T = 32, 0.04
+    h = 1.0 / n
+    dt0 = 0.5 * 0.25 * h * h / NU
+    u_ex, v_ex, p_ex, _, _ = manufactured_solution(
+        Grid.regular(n, n, 1.0, 1.0), NU)
+
+    def final_u(dt):
+        case = make_cavity_case(
+            n_interior=n, lid_velocity=0.0, dt=dt, final_time=T,
+            tolerance_factor=1e-9, poisson="multigrid", dtype=jnp.float64,
+            reynolds_number=1.0)
+        case = dataclasses.replace(
+            case, coeffs=dataclasses.replace(case.coeffs, viscosity=NU))
+        step = jax.jit(make_step(case))
+        st = State(jnp.asarray(u_ex), jnp.asarray(v_ex), jnp.asarray(p_ex),
+                   None, jnp.asarray(p_ex))
+        for _ in range(round(T / dt)):
+            st, _ = step(st)
+        return np.asarray(st.u)
+
+    ref = final_u(dt0 / 8)
+    e1 = np.sqrt(np.mean((final_u(dt0) - ref) ** 2))
+    e2 = np.sqrt(np.mean((final_u(dt0 / 2) - ref) ** 2))
+    order = np.log2(e1 / e2)
+    # measured 0.80: non-incremental (Chorin) projection carries an O(dt)
+    # bulk error plus pressure boundary layers that shade the observed
+    # L2 order slightly below 1 — first-order-ish is the correct
+    # expectation for this splitting, not clean 1.0
+    assert 0.6 <= order <= 1.4, (e1, e2, order)
