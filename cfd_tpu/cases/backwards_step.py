@@ -171,8 +171,19 @@ def make_backwards_step_case(
                     interpret=interp),
                 corr,
             )
-            solve = make_masked_quad_multigrid_poisson(
-                grid, coeffs, mg, dtype=dtype, interpret=interp)
+            if mg.whole_solve:
+                # ONE Pallas call per pressure solve: the exact masked fine
+                # level + the full-2D-weight coarse hierarchy + the
+                # tolerance loop all in-kernel (kernels.whole_solve).
+                from cfd_tpu.kernels.whole_solve import (
+                    make_quad_step_whole_solve,
+                )
+
+                solve = make_quad_step_whole_solve(grid, coeffs, mg,
+                                                   interpret=interp)
+            else:
+                solve = make_masked_quad_multigrid_poisson(
+                    grid, coeffs, mg, dtype=dtype, interpret=interp)
 
             def align_state(state):
                 us, vs = uncorrect_step_quad(state.u, state.v, state.p,
@@ -244,6 +255,11 @@ def make_backwards_step_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "smoother_mode='interpret')")
+    if poisson == "multigrid" and mg.whole_solve and not use_quad:
+        # the masked whole-solve lives on the quad fast path only; fail
+        # loudly rather than silently running the per-kernel path
+        raise ValueError("whole_solve requires the quad fast path for the "
+                         "masked step flavor (f32 + multigrid + quad layout)")
     return Case(
         name="backwards_step",
         poisson_max_iters=poisson_cap,

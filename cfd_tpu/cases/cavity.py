@@ -165,10 +165,21 @@ def make_cavity_case(
                     grid.shape, problem, mg.omega, mg.post_sweeps,
                     coarse_shape, interpret=interp),
             )
-            solve = make_multigrid_poisson(
-                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
-                pallas_interpret=interp, quad_level0=quad_l0,
-            )
+            if mg.whole_solve:
+                # ONE Pallas call per pressure solve (kernels.whole_solve):
+                # the whole tolerance loop runs in-kernel, every level
+                # VMEM-resident — same (p, cycles, res) contract. Raises at
+                # build time when the hierarchy exceeds the VMEM cap (e.g.
+                # 2048^2 cavity) — use the per-kernel path there.
+                from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+
+                solve = make_quad_whole_solve(grid.shape, problem, mg,
+                                              interpret=interp)
+            else:
+                solve = make_multigrid_poisson(
+                    problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                    pallas_interpret=interp, quad_level0=quad_l0,
+                )
 
             # Tentative-state boundary converters: the carried u/v are the
             # TENTATIVE (u*, v*) fields; the logical state applies the
@@ -317,6 +328,10 @@ def make_cavity_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "step_kernel_mode='interpret')")
+    if poisson == "multigrid" and mg.whole_solve and not use_quad:
+        # whole_solve must not be silently ignored off the quad path
+        raise ValueError("whole_solve requires the f32 quad multigrid "
+                         "kernel path")
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,

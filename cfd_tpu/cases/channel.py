@@ -154,10 +154,19 @@ def make_channel_case(
                     grid.shape, problem, mg.omega, mg.post_sweeps,
                     coarse_shape, interpret=interp),
             )
-            solve = make_multigrid_poisson(
-                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
-                pallas_interpret=interp, quad_level0=quad_l0,
-            )
+            if mg.whole_solve:
+                # ONE Pallas call per pressure solve (kernels.whole_solve):
+                # the whole tolerance loop runs in-kernel, every level
+                # VMEM-resident — same (p, cycles, res) contract.
+                from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+
+                solve = make_quad_whole_solve(grid.shape, problem, mg,
+                                              interpret=interp)
+            else:
+                solve = make_multigrid_poisson(
+                    problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                    pallas_interpret=interp, quad_level0=quad_l0,
+                )
 
             # Tentative-state boundary converters (see the cavity factory)
             def align_state(state):
@@ -266,6 +275,10 @@ def make_channel_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "step_kernel_mode='interpret')")
+    if poisson == "multigrid" and mg.whole_solve and not use_quad:
+        # whole_solve must not be silently ignored off the quad path
+        raise ValueError("whole_solve requires the f32 quad multigrid "
+                         "kernel path")
     return Case(
         name="channel",
         poisson_max_iters=poisson_cap,

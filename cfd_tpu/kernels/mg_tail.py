@@ -170,22 +170,16 @@ def _residual(lv, p, b, interior, wE, wW, wN, wS):
     return jnp.where(interior, b - a, jnp.zeros_like(b))
 
 
-def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
-                 pinv: np.ndarray, interpret: bool = False):
-    """Returns ``tail(b) -> e``: one Pallas call running the V-cycle over
-    ``levels`` (aligned _Level list, finest first, coarsest solved with the
-    dense ``pinv``) from a zero initial iterate — the drop-in replacement
-    for ``vcycle(k, zeros, b)`` at the level whose _Level is ``levels[0]``.
-
-    All level arrays, weights and transfer matrices live in VMEM for the
-    whole call; total footprint is validated against a hard cap (raise
-    ``tail_from`` if it trips)."""
+def build_tail_consts(levels, pinv: np.ndarray):
+    """(consts, w_idx, t_idx, m_idx) for ``run_tail_vcycle``: per-level
+    weight arrays, inter-level transfer matrices, coarsest pinv lane
+    blocks — the full VMEM-resident constant set of a fused coarse tail.
+    Shared by make_mg_tail and kernels.whole_solve."""
     if len(levels) < 2:
         raise ValueError("mg tail needs at least two levels (one coarsening)")
     bot = levels[-1]
-    nyb = bot.ny
-    if nyb > 12:
-        raise ValueError(f"coarsest ny={nyb} too large for the lane-block "
+    if bot.ny > 12:
+        raise ValueError(f"coarsest ny={bot.ny} too large for the lane-block "
                          "pinv decomposition (quadratic matmul count)")
     consts: list[np.ndarray] = []
     w_idx = []
@@ -198,18 +192,95 @@ def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
         consts.extend(_transfer_matrices(fine, coarse))
     m_idx = len(consts)
     consts.extend(_pinv_lane_blocks(np.asarray(pinv, np.float32), bot))
+    return consts, w_idx, t_idx, m_idx
+
+
+def run_tail_vcycle(levels, b0, getc, w_idx, t_idx, m_idx,
+                    omega: float, pre_sweeps: int, post_sweeps: int):
+    """The fused tail's V-cycle body on VALUES: ``vcycle(zeros, b0) -> e``
+    over ``levels`` with constants fetched via ``getc(i)`` (a ref-load in
+    kernel context). Pure jnp — callable from any Pallas kernel whose
+    levels fit in VMEM."""
+    omega = float(omega)
+    K = len(levels)
+    bot = levels[-1]
+    nyb = bot.ny
+
+    def weights(k):
+        return tuple(getc(w_idx[k] + i) for i in range(4))
+
+    b = [None] * K
+    b[0] = b0
+    ps = [None] * K
+    # descent: pre-smooth from zeros, residual, restrict
+    for k in range(K - 1):
+        lv = levels[k]
+        wE, wW, wN, wS = weights(k)
+        interior, red, black, inv_diag = _lv_masks_invdiag(
+            lv, wE, wW, wN, wS)
+        p = _smooth_pairs(lv, jnp.zeros_like(b[k]), b[k], pre_sweeps,
+                          omega, wE, wW, wN, wS, red, black, inv_diag)
+        r = _residual(lv, p, b[k], interior, wE, wW, wN, wS)
+        Rr, Rc = getc(t_idx[k]), getc(t_idx[k] + 1)
+        b[k + 1] = _dot(_dot(Rr, r), Rc)
+        ps[k] = p
+
+    # coarsest: dense pseudo-inverse via lane-space blocks
+    bb = b[K - 1]
+    Hb, Wb = bot.shape
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb), 0)
+    e = jnp.zeros_like(bb)
+    for jp in range(1, nyb + 1):
+        for j in range(1, nyb + 1):
+            Mi = getc(m_idx + (jp - 1) * nyb + (j - 1))
+            # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits
+            # (same guard as kernels.projection._roll)
+            rolled = bb if jp == j else jnp.roll(bb, jp - j, axis=0)
+            e = jnp.where(rows_b == jp, e + _dot(rolled, Mi), e)
+
+    # ascent: prolong, correct, post-smooth
+    for k in range(K - 2, -1, -1):
+        lv = levels[k]
+        wE, wW, wN, wS = weights(k)
+        interior, red, black, inv_diag = _lv_masks_invdiag(
+            lv, wE, wW, wN, wS)
+        Pr, Pc = getc(t_idx[k] + 2), getc(t_idx[k] + 3)
+        ef = _dot(_dot(Pr, e), Pc)
+        p = ps[k] + jnp.where(interior, ef, jnp.zeros_like(ef))
+        e = _smooth_pairs(lv, p, b[k], post_sweeps, omega,
+                          wE, wW, wN, wS, red, black, inv_diag)
+    return e
+
+
+def tail_consts_bytes(consts) -> int:
+    """VMEM footprint of a tail const list (lane padding accounted)."""
+    return sum(_ref_bytes(c.shape) for c in consts)
+
+
+def _ref_bytes(shape):
+    if len(shape) == 2:
+        H, W = shape
+        return _round_up(H, 8) * _round_up(W, 128) * 4
+    n, H, W = shape
+    return n * _round_up(H, 8) * _round_up(W, 128) * 4
+
+
+def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
+                 pinv: np.ndarray, interpret: bool = False):
+    """Returns ``tail(b) -> e``: one Pallas call running the V-cycle over
+    ``levels`` (aligned _Level list, finest first, coarsest solved with the
+    dense ``pinv``) from a zero initial iterate — the drop-in replacement
+    for ``vcycle(k, zeros, b)`` at the level whose _Level is ``levels[0]``.
+
+    All level arrays, weights and transfer matrices live in VMEM for the
+    whole call; total footprint is validated against a hard cap (raise
+    ``tail_from`` if it trips)."""
+    consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
 
     # VMEM budget: 3 live arrays per level (p, b, r/e) + consts, with lane
     # padding of skinny refs accounted (Mosaic pads (H, 1) to (H, 128)).
-    def _ref_bytes(shape):
-        if len(shape) == 2:
-            H, W = shape
-            return _round_up(H, 8) * _round_up(W, 128) * 4
-        n, H, W = shape
-        return n * _round_up(H, 8) * _round_up(W, 128) * 4
-
     arrays = sum(3 * _ref_bytes(lv.shape) for lv in levels)
-    cbytes = sum(_ref_bytes(c.shape) for c in consts)
+    cbytes = tail_consts_bytes(consts)
     est = arrays + cbytes
     vmem_limit = int(1.7 * est + 16e6)
     if vmem_limit > 115e6:
@@ -217,58 +288,12 @@ def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,
             f"mg tail VMEM estimate {est / 1e6:.0f} MB too large for "
             f"{levels[0].shape} — start the fused tail one level deeper")
 
-    omega = float(omega)
-    K = len(levels)
-
     def kernel(b0_ref, *refs):
         out_ref = refs[-1]
         cref = refs[:-1]
-
-        def weights(k):
-            wE, wW, wN, wS = (cref[w_idx[k] + i][...] for i in range(4))
-            return wE, wW, wN, wS
-
-        b = [None] * K
-        b[0] = b0_ref[...]
-        ps = [None] * K
-        # descent: pre-smooth from zeros, residual, restrict
-        for k in range(K - 1):
-            lv = levels[k]
-            wE, wW, wN, wS = weights(k)
-            interior, red, black, inv_diag = _lv_masks_invdiag(
-                lv, wE, wW, wN, wS)
-            p = _smooth_pairs(lv, jnp.zeros_like(b[k]), b[k], pre_sweeps,
-                              omega, wE, wW, wN, wS, red, black, inv_diag)
-            r = _residual(lv, p, b[k], interior, wE, wW, wN, wS)
-            Rr, Rc = cref[t_idx[k]][...], cref[t_idx[k] + 1][...]
-            b[k + 1] = _dot(_dot(Rr, r), Rc)
-            ps[k] = p
-
-        # coarsest: dense pseudo-inverse via lane-space blocks
-        bb = b[K - 1]
-        Hb, Wb = bot.shape
-        rows_b = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb), 0)
-        e = jnp.zeros_like(bb)
-        for jp in range(1, nyb + 1):
-            for j in range(1, nyb + 1):
-                Mi = cref[m_idx + (jp - 1) * nyb + (j - 1)][...]
-                # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits
-                # (same guard as kernels.projection._roll)
-                rolled = bb if jp == j else jnp.roll(bb, jp - j, axis=0)
-                e = jnp.where(rows_b == jp, e + _dot(rolled, Mi), e)
-
-        # ascent: prolong, correct, post-smooth
-        for k in range(K - 2, -1, -1):
-            lv = levels[k]
-            wE, wW, wN, wS = weights(k)
-            interior, red, black, inv_diag = _lv_masks_invdiag(
-                lv, wE, wW, wN, wS)
-            Pr, Pc = cref[t_idx[k] + 2][...], cref[t_idx[k] + 3][...]
-            ef = _dot(_dot(Pr, e), Pc)
-            p = ps[k] + jnp.where(interior, ef, jnp.zeros_like(ef))
-            e = _smooth_pairs(lv, p, b[k], post_sweeps, omega,
-                              wE, wW, wN, wS, red, black, inv_diag)
-        out_ref[...] = e
+        out_ref[...] = run_tail_vcycle(
+            levels, b0_ref[...], lambda i: cref[i][...], w_idx, t_idx,
+            m_idx, omega, pre_sweeps, post_sweeps)
 
     from jax.experimental.pallas import tpu as pltpu
 

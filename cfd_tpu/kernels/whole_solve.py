@@ -1,0 +1,398 @@
+"""Whole-Poisson-solve-in-VMEM: the ENTIRE tolerance-driven multigrid
+solve for the quad fast path in ONE Pallas call.
+
+Motivation (PARITY.md round-3 roadmap): at the secondary-case sizes
+(channel/RB 1536x512, step 2048x256) the quad fields are a few MB each, so
+the whole V-cycle state — finest quad planes AND every coarse level — fits
+in VMEM simultaneously.  The per-step Poisson cost is then dominated not by
+HBM bandwidth but by kernel launches and the XLA glue between them (pre
+kernel + coarse levels/fused tail + post kernel + while_loop plumbing per
+cycle).  This kernel runs the OUTER tolerance loop itself
+(``lax.while_loop`` with scalar carries + the four quad planes), so one
+step's whole pressure solve is a single launch: p and b stream from HBM
+exactly once, every V-cycle in between runs at VMEM speed.
+
+Semantics are identical to the per-kernel composition it replaces
+(poisson.multigrid.make_multigrid_poisson with quad_level0= the
+kernels.quad pre/post pair + the aligned coarse hierarchy):
+
+* finest level: ``_smooth_pairs_quad`` red/black pairs -> residual ->
+  full-weighting restriction (the quad pre kernel's compute, with the
+  whole array as one "slab": band bookkeeping degenerates to all-true
+  because physical ghost rows terminate every dependency chain);
+* coarse hierarchy: kernels.mg_tail's ``run_tail_vcycle`` (lane-dimension
+  transfers as banded constant matmuls on the MXU, coarsest dense
+  pseudo-inverse in lane-space blocks);
+* back at the finest level: bilinear prolongation + post pairs + the
+  tolerance residual max (the quad post kernel's compute);
+* stopping rule: exactly MGConfig's (tol, max_cycles, stall_ratio) triple
+  with the same 1e30 finite sentinel as multigrid.solve.
+
+``pin_mean`` (pure-Neumann / Rayleigh-Benard): the per-cycle interior mean
+subtraction runs in-kernel after the fused residual (valid because the
+constant is the operator's nullspace — the same argument as
+multigrid.solve's pin_mean composition).
+
+Float32 only (the performance path).  Reference anchor: this replaces the
+SOR hot loop of /root/reference/cavity-01.cpp:609-690 (and the channel/
+step twins) at production sizes; equivalence to the per-kernel path is
+asserted in tests/test_whole_solve.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from cfd_tpu.kernels.mg_tail import (
+    _ref_bytes,
+    build_tail_consts,
+    run_tail_vcycle,
+    tail_consts_bytes,
+)
+from cfd_tpu.kernels.quad import (
+    _band_maker,
+    _plane_weight_vectors,
+    _qiota,
+    _residual_quad,
+    _smooth_pairs_quad,
+    quad_dims,
+)
+from cfd_tpu.poisson.multigrid import MGConfig, PoissonProblem, _build_level, _dense_pinv, coarsen_problem
+
+
+def _bilinear_corr(ec, Jc, Ic, nyc: int, nxc: int):
+    """Bilinear 9-3-3-1 prolongation of the aligned coarse correction to
+    the four quad planes (plane order: corr[q >> 1][q & 1]) — the
+    kernels.quad post kernel's construction on whole VMEM-resident
+    arrays."""
+    ecJ1 = jnp.roll(ec, -1, axis=0)
+    ecJ0 = jnp.where(Jc == 0, ecJ1, ec)
+    ecJ1 = jnp.where(Jc == nyc, ec, ecJ1)
+    rowmix = [0.75 * ecJ0 + 0.25 * ecJ1,
+              0.25 * ecJ0 + 0.75 * ecJ1]
+    corr = []
+    for rr in range(2):
+        m1 = jnp.roll(rowmix[rr], -1, axis=1)
+        m0 = jnp.where(Ic == 0, m1, rowmix[rr])
+        m1 = jnp.where(Ic == nxc, rowmix[rr], m1)
+        corr.append([0.75 * m0 + 0.25 * m1,
+                     0.25 * m0 + 0.75 * m1])
+    return [corr[q >> 1][q & 1] for q in range(4)]
+
+
+def _whole_call(kernel, n_consts: int, plane_shape, vmem_limit: int,
+                interpret: bool):
+    """The shared pallas_call scaffold: (p4, b4, tol, *consts) ->
+    (p4, (cycles, res) SMEM pair), everything VMEM-resident."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Hq8, Wqa = plane_shape
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_consts,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((4, Hq8, Wqa), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=False, vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )
+
+
+def _make_solve(call, consts, cfg: MGConfig):
+    """The (p_warm, b, max_b) -> (p, cycles, res) contract around the
+    fused call (multigrid.solve's tolerance construction)."""
+    def solve(p_warm, b, max_b=None):
+        if max_b is None:
+            max_b = jnp.max(jnp.abs(b))  # quad b is 0 outside the interior
+        tol = jnp.maximum(
+            cfg.tol_factor * jnp.where(max_b > 0, max_b,
+                                       jnp.ones_like(max_b)),
+            jnp.asarray(cfg.abs_tol, jnp.float32))
+        p, s = call(p_warm, b, jnp.reshape(tol, (1,)).astype(jnp.float32),
+                    *consts)
+        return p, s[0, 0].astype(jnp.int32), s[0, 1]
+
+    return solve
+
+
+def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
+                          pin_mean: bool = False,
+                          n_interior: int | None = None,
+                          interpret: bool = False):
+    """Returns ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` with
+    the quad-layout multigrid solve contract of
+    ``make_multigrid_poisson(..., quad_level0=...)`` — in ONE Pallas call.
+
+    Raises ValueError when the hierarchy's total VMEM footprint exceeds the
+    per-kernel cap (use the per-kernel path at such sizes) or when the
+    aligned level-1 shape does not coincide with the quad plane shape.
+    """
+    if np.dtype(jnp.float32) != np.float32:  # pragma: no cover - sanity
+        raise AssertionError
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    nyc, nxc = ny // 2, nx // 2
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    n_int = n_interior or (nx * ny)
+
+    probs = [problem]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse
+           and probs[-1].ny // 2 >= cfg.min_coarse):
+        probs.append(coarsen_problem(probs[-1]))
+    if len(probs) < 3:
+        raise ValueError("whole-solve needs >= 2 coarse levels")
+    levels = [_build_level(p, jnp.float32, aligned=True) for p in probs[1:]]
+    if levels[0].shape != (Hq8, Wqa):
+        raise ValueError(f"aligned coarse shape {levels[0].shape} != quad "
+                         f"plane shape {(Hq8, Wqa)}")
+    pinv = _dense_pinv(probs[-1])
+
+    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
+    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape)
+    fine_consts = [*wEc, *wWc, *wNc, *wSc]  # 8 arrays
+    n_fine = len(fine_consts)
+    consts = [jnp.asarray(c, jnp.float32) for c in fine_consts] \
+        + [jnp.asarray(c, jnp.float32) for c in tail_consts]
+
+    # VMEM estimate: finest quad p (in + carry + out) and b + 3 live arrays
+    # per coarse level + all constants, lane padding accounted.
+    qfield = 4 * _ref_bytes((Hq8, Wqa))
+    est = (4 * qfield
+           + sum(3 * _ref_bytes(lv.shape) for lv in levels)
+           + tail_consts_bytes(tail_consts)
+           + sum(_ref_bytes(np.asarray(c).shape) for c in fine_consts))
+    vmem_limit = int(1.5 * est + 20e6)
+    if vmem_limit > 115e6:
+        raise ValueError(
+            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
+            f"{shape} — use the per-kernel quad path")
+
+    idx2 = 1.0 / (problem.dx * problem.dx)
+    idy2 = 1.0 / (problem.dy * problem.dy)
+    omega = float(cfg.omega)
+    pre_sweeps, post_sweeps = cfg.pre_sweeps, cfg.post_sweeps
+    max_cycles = int(cfg.max_cycles)
+    stall_ratio = float(cfg.stall_ratio)
+
+    def kernel(p_ref, b_ref, tol_ref, *refs):
+        cref = refs[:-2]
+        out_ref, sref = refs[-2], refs[-1]
+        tol = tol_ref[0]
+        b = [b_ref[q] for q in range(4)]
+        wE = [cref[0][...], cref[1][...]]
+        wW = [cref[2][...], cref[3][...]]
+        wN = [cref[4][...], cref[5][...]]
+        wS = [cref[6][...], cref[7][...]]
+        grow, gcol = _qiota(0, Hq8, Wqa)
+        masks = [(g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
+                 for g, c in zip(grow, gcol)]
+        # whole-array "slab": physical edges terminate every half-sweep
+        # dependency chain, so the band is all-true at every offset
+        band = _band_maker(0, Hq8, Wqa, ny)
+        Jc = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 0)
+        Ic = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 1)
+        cmask = (Jc >= 1) & (Jc <= nyc) & (Ic >= 1) & (Ic <= nxc)
+        getc = lambda i: cref[n_fine + i][...]
+        if pin_mean:
+            cell = [m.astype(jnp.float32) for m in masks]
+
+        def vcycle(p):
+            # --- finest level: pre-smooth + residual + restriction
+            # (the kernels.quad pre compute at s=0, whole array)
+            p = _smooth_pairs_quad(p, b, pre_sweeps, omega, idx2, idy2,
+                                   wE, wW, wN, wS, masks, band)
+            r = _residual_quad(p, b, idx2, idy2, wE, wW, wN, wS, masks)
+            rc = 0.25 * (r[0]
+                         + jnp.roll(r[1], 1, axis=1)
+                         + jnp.roll(r[2], 1, axis=0)
+                         + jnp.roll(jnp.roll(r[3], 1, axis=0), 1, axis=1))
+            rc = jnp.where(cmask, rc, jnp.zeros_like(rc))
+
+            # --- the whole coarse hierarchy (kernels.mg_tail body)
+            ec = run_tail_vcycle(levels, rc, getc, w_idx, t_idx, m_idx,
+                                 omega, pre_sweeps, post_sweeps)
+
+            # --- finest level: bilinear prolongation + post-smooth +
+            # tolerance residual (the kernels.quad post compute at s=0)
+            corr = _bilinear_corr(ec, Jc, Ic, nyc, nxc)
+            p = [jnp.where(masks[q], p[q] + corr[q], p[q])
+                 for q in range(4)]
+            p = _smooth_pairs_quad(p, b, post_sweeps, omega, idx2, idy2,
+                                   wE, wW, wN, wS, masks, band)
+            r = _residual_quad(p, b, idx2, idy2, wE, wW, wN, wS, masks)
+            new_res = jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in r]))
+            return p, new_res
+
+        def cond(carry):
+            _, _, _, _, res, prev, it = carry
+            return (res > tol) & (it < max_cycles) & (res < stall_ratio * prev)
+
+        def body(carry):
+            p0, p1, p2, p3, res, _, it = carry
+            p, new_res = vcycle([p0, p1, p2, p3])
+            if pin_mean:
+                # pure Neumann: the constant is the nullspace, so the fused
+                # residual stays valid after the shift (multigrid.solve)
+                mean = sum(jnp.sum(a) for a in p) / n_int
+                p = [a - mean * m for a, m in zip(p, cell)]
+            return (*p, new_res, res, it + 1)
+
+        big = jnp.float32(1e30)
+        init = (p_ref[0], p_ref[1], p_ref[2], p_ref[3],
+                big / 2, big, jnp.int32(0))
+        out = jax.lax.while_loop(cond, body, init)
+        for q in range(4):
+            out_ref[q] = out[q]
+        sref[0, 0] = out[6].astype(jnp.float32)
+        sref[0, 1] = out[4]
+
+    call = _whole_call(kernel, len(consts), (Hq8, Wqa), vmem_limit,
+                       interpret)
+    return _make_solve(call, consts, cfg)
+
+
+def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
+                               interpret: bool = False):
+    """The MASKED (backwards-step) whole-solve: the exact quad fine level
+    (ghost refresh incl. solid-cell averaging + dense red/black planes,
+    kernels.step_quad semantics), the full-2D-weight coarse hierarchy
+    (kernels.mg_tail full-weight mode) and the tolerance loop in ONE
+    Pallas call — the fused twin of
+    poisson.multigrid.make_masked_quad_multigrid_poisson with the same
+    ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` contract.
+
+    Defect-correction structure is preserved exactly: the fine level runs
+    the reference's exact masked operator
+    (/root/reference/backwards_step-01.cpp:685-740 ghosts), the coarse
+    hierarchy the weighted approximation; equivalence to the per-kernel
+    composition is asserted in tests/test_whole_solve.py."""
+    from cfd_tpu.kernels.step_quad import (
+        _exact_residual_quad,
+        _smooth_stage_quad,
+        _step_masks,
+    )
+    from cfd_tpu.poisson.multigrid import (
+        masked_channel_problem,
+        step_rect_params,
+    )
+
+    rect = step_rect_params(grid)
+    if rect is None:
+        raise ValueError("the masked whole-solve requires the reference's "
+                         "step rectangle raster")
+    step_i, inlet_j = rect
+    nx, ny = grid.nx, grid.ny
+    nyc, nxc = ny // 2, nx // 2
+    Hq, Wq, Hq8, Wqa = quad_dims(grid.shape)
+    idx2, idy2 = coeffs.idx2, coeffs.idy2
+
+    probs = [masked_channel_problem(grid, coeffs.dx, coeffs.dy)]
+    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
+           and probs[-1].nx // 2 >= cfg.min_coarse
+           and probs[-1].ny // 2 >= cfg.min_coarse):
+        probs.append(coarsen_problem(probs[-1]))
+    if len(probs) < 3:
+        raise ValueError("whole-solve needs >= 2 coarse levels")
+    levels = [_build_level(p, jnp.float32, aligned=True, allow_full=True)
+              for p in probs[1:]]
+    if levels[0].shape != (Hq8, Wqa):
+        raise ValueError(f"aligned coarse shape {levels[0].shape} != quad "
+                         f"plane shape {(Hq8, Wqa)}")
+    pinv = _dense_pinv(probs[-1])
+
+    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
+    consts = [jnp.asarray(c, jnp.float32) for c in tail_consts]
+
+    qfield = 4 * _ref_bytes((Hq8, Wqa))
+    est = (4 * qfield
+           + sum(3 * _ref_bytes(lv.shape) for lv in levels)
+           + tail_consts_bytes(tail_consts))
+    vmem_limit = int(1.5 * est + 20e6)
+    if vmem_limit > 115e6:
+        raise ValueError(
+            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
+            f"{grid.shape} — use the per-kernel quad path")
+
+    omega = float(cfg.omega)
+    pre_sweeps, post_sweeps = cfg.pre_sweeps, cfg.post_sweeps
+    max_cycles = int(cfg.max_cycles)
+    stall_ratio = float(cfg.stall_ratio)
+
+    def kernel(p_ref, b_ref, tol_ref, *refs):
+        cref = refs[:-2]
+        out_ref, sref = refs[-2], refs[-1]
+        tol = tol_ref[0]
+        b = [b_ref[q] for q in range(4)]
+        grow, gcol = _qiota(0, Hq8, Wqa)
+        fluid, _, _ = _step_masks(grow, gcol, ny, nx, step_i, inlet_j)
+        # whole-array "slab" at s=0: the band ledger is all-true at every
+        # offset (physical edges terminate every dependency chain)
+        band = _band_maker(0, Hq8, Wqa, ny)
+        Jc = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 0)
+        Ic = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 1)
+        cmask = (Jc >= 1) & (Jc <= nyc) & (Ic >= 1) & (Ic <= nxc)
+        getc = lambda i: cref[i][...]
+
+        def vcycle(p):
+            # --- exact masked fine level: pre pairs + residual + restrict
+            # (the kernels.step_quad pre compute at s=0)
+            p, k = _smooth_stage_quad(p, b, grow, gcol, fluid, band, 0,
+                                      pre_sweeps, omega, idx2, idy2, ny, nx,
+                                      step_i, inlet_j)
+            r = _exact_residual_quad(p, b, grow, gcol, fluid, band, k,
+                                     idx2, idy2, ny, nx, step_i, inlet_j)
+            rc = 0.25 * (r[0]
+                         + jnp.roll(r[1], 1, axis=1)
+                         + jnp.roll(r[2], 1, axis=0)
+                         + jnp.roll(jnp.roll(r[3], 1, axis=0), 1, axis=1))
+            rc = jnp.where(cmask, rc, jnp.zeros_like(rc))
+
+            # --- the full-2D-weight coarse hierarchy (kernels.mg_tail)
+            ec = run_tail_vcycle(levels, rc, getc, w_idx, t_idx, m_idx,
+                                 omega, pre_sweeps, post_sweeps)
+
+            # --- prolongation on FLUID cells + exact post + tolerance
+            # residual (the kernels.step_quad post compute at s=0)
+            corr = _bilinear_corr(ec, Jc, Ic, nyc, nxc)
+            p = [jnp.where(fluid[q], p[q] + corr[q], p[q])
+                 for q in range(4)]
+            p, k = _smooth_stage_quad(p, b, grow, gcol, fluid,
+                                      lambda lo: band(lo + 1), 0,
+                                      post_sweeps, omega, idx2, idy2,
+                                      ny, nx, step_i, inlet_j)
+            r = _exact_residual_quad(p, b, grow, gcol, fluid,
+                                     lambda lo: band(lo + 1), k, idx2, idy2,
+                                     ny, nx, step_i, inlet_j)
+            new_res = jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in r]))
+            return p, new_res
+
+        def cond(carry):
+            _, _, _, _, res, prev, it = carry
+            return (res > tol) & (it < max_cycles) & (res < stall_ratio * prev)
+
+        def body(carry):
+            p0, p1, p2, p3, res, _, it = carry
+            p, new_res = vcycle([p0, p1, p2, p3])
+            return (*p, new_res, res, it + 1)
+
+        big = jnp.float32(1e30)
+        init = (p_ref[0], p_ref[1], p_ref[2], p_ref[3],
+                big / 2, big, jnp.int32(0))
+        out = jax.lax.while_loop(cond, body, init)
+        for q in range(4):
+            out_ref[q] = out[q]
+        sref[0, 0] = out[6].astype(jnp.float32)
+        sref[0, 1] = out[4]
+
+    call = _whole_call(kernel, len(consts), (Hq8, Wqa), vmem_limit,
+                       interpret)
+    return _make_solve(call, consts, cfg)

@@ -227,6 +227,10 @@ def make_rayleigh_benard_case(
         raise ValueError(
             "layout='quad' requires the f32 kernel path (dtype=float32, "
             "TPU platform or step_kernel_mode='interpret')")
+    if mg.whole_solve and not use_quad:
+        # whole_solve must not be silently ignored off the quad path
+        raise ValueError("whole_solve requires the f32 quad multigrid "
+                         "kernel path")
 
     if use_quad:
         from cfd_tpu.kernels.rb_quad import (
@@ -245,10 +249,20 @@ def make_rayleigh_benard_case(
                 grid.shape, problem, mg.omega, mg.post_sweeps,
                 coarse_shape, interpret=interp),
         )
-        poisson = make_multigrid_poisson(
-            problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
-            pallas_interpret=interp, quad_level0=quad_l0,
-        )
+        if mg.whole_solve:
+            # ONE Pallas call per pressure solve (kernels.whole_solve):
+            # pure-Neumann flavor with the per-cycle mean pin in-kernel.
+            from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+
+            poisson = make_quad_whole_solve(grid.shape, problem, mg,
+                                            pin_mean=True,
+                                            n_interior=nx * ny,
+                                            interpret=interp)
+        else:
+            poisson = make_multigrid_poisson(
+                problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
+                pallas_interpret=interp, quad_level0=quad_l0,
+            )
         fused = make_quad_rb_step_kernel(
             grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
             buoyancy=buoy, interpret=interp)

@@ -371,6 +371,11 @@ class MGConfig:
     # XLA restrict/prolong glue that dominate coarse-level cost. None = off.
     # Honored by the f32 Pallas paths only (XLA/f64 paths ignore it).
     tail_from: int | None = None
+    # Run the ENTIRE tolerance-driven solve as ONE Pallas call
+    # (kernels.whole_solve) — requires the quad layout and the whole
+    # hierarchy fitting in VMEM (secondary-case sizes). Supersedes
+    # tail_from. Honored by the f32 quad paths only.
+    whole_solve: bool = False
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:

@@ -1,0 +1,173 @@
+"""Whole-Poisson-solve-in-VMEM (kernels.whole_solve) vs the per-kernel quad
+composition (interpret mode on host CPU).
+
+One Pallas call must reproduce the entire tolerance-driven solve that
+make_multigrid_poisson(quad_level0=...) runs as pre-kernel + coarse levels +
+post-kernel under a lax.while_loop: same cycle counts (+-1 stall-exit cycle
+from f32 contraction-order differences in the tail's transfer matmuls) and
+fields to f32 roundoff."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfd_tpu.poisson import multigrid as M
+
+
+def _interior_noise(shape, ny, nx, seed):
+    rng = np.random.default_rng(seed)
+    b = np.zeros(shape, np.float32)
+    b[1:ny + 1, 1:nx + 1] = rng.standard_normal((ny, nx)).astype(np.float32)
+    return b
+
+
+def test_whole_solve_matches_per_kernel_channel_flavor():
+    """Direct solver-level comparison on the channel operator: same
+    tolerance criterion, cycle counts within +-1, converged iterate to
+    f32 roundoff."""
+    from cfd_tpu.kernels.quad import (
+        make_quad_post_prolong_smooth,
+        make_quad_pre_smooth_restrict,
+        quad_dims,
+        to_quad,
+    )
+    from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+
+    n = 64
+    cfg = M.MGConfig(pre_sweeps=2, post_sweeps=1, tol_factor=1e-4)
+    problem = M.channel_problem(n, n, 1.0 / n, 1.0 / n)
+    shape = (n + 2, n + 2)
+    _, _, Hq8, Wqa = quad_dims(shape)
+    quad_l0 = (
+        make_quad_pre_smooth_restrict(shape, problem, cfg.omega,
+                                      cfg.pre_sweeps, (Hq8, Wqa),
+                                      interpret=True),
+        make_quad_post_prolong_smooth(shape, problem, cfg.omega,
+                                      cfg.post_sweeps, (Hq8, Wqa),
+                                      interpret=True),
+    )
+    solve_ref = M.make_multigrid_poisson(
+        problem, cfg, dtype=jnp.float32, aligned_io=True, use_pallas=True,
+        pallas_interpret=True, quad_level0=quad_l0)
+    solve_ws = make_quad_whole_solve(shape, problem, cfg, interpret=True)
+
+    b = to_quad(jnp.asarray(_interior_noise(shape, n, n, seed=5)), shape)
+    p0 = jnp.zeros_like(b)
+    pa, ita, resa = solve_ref(p0, b)
+    pb, itb, resb = solve_ws(p0, b)
+    tol = 1e-4 * float(jnp.max(jnp.abs(b)))
+    assert float(resa) <= tol and float(resb) <= tol
+    assert abs(int(ita) - int(itb)) <= 1, (int(ita), int(itb))
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa), atol=50 * tol)
+
+
+def _compare_quad_vs_whole(make, kw, steps=3, names=("u", "v", "p"),
+                           atol=1e-4):
+    """Trajectory of the quad case with mg_overrides whole_solve=True vs
+    the plain quad case (the test_mg_tail comparison harness shape)."""
+    from cfd_tpu.solver import Simulation
+
+    ref_case = make(**kw)
+    ov = dict(kw.pop("mg_overrides", {}), whole_solve=True)
+    ws_case = make(mg_overrides=ov, **kw)
+    sim_a = Simulation(ref_case, log=lambda *a: None)
+    sim_b = Simulation(ws_case, log=lambda *a: None)
+    sa, sb = sim_a.initial_state(), sim_b.initial_state()
+    for k in range(steps):
+        sa, da = sim_a._step(sa)
+        sb, db = sim_b._step(sb)
+        assert abs(int(db.poisson_iters) - int(da.poisson_iters)) <= 1, k
+    la, lb = sim_a._logical(sa), sim_b._logical(sb)
+    for name in names:
+        a, b = np.asarray(getattr(la, name)), np.asarray(getattr(lb, name))
+        scale = max(1.0, np.abs(a).max())
+        np.testing.assert_allclose(b, a, rtol=0, atol=atol * scale,
+                                   err_msg=name)
+
+
+def test_channel_quad_whole_solve_matches_quad():
+    from cfd_tpu.cases.channel import make_channel_case
+
+    _compare_quad_vs_whole(
+        make_channel_case,
+        dict(nx=64, ny=32, dtype=jnp.float32, poisson="multigrid",
+             tolerance_factor=1e-5, layout="quad",
+             step_kernel_mode="interpret"))
+
+
+def test_cavity_quad_whole_solve_matches_quad():
+    from cfd_tpu.cases.cavity import make_cavity_case
+
+    _compare_quad_vs_whole(
+        make_cavity_case,
+        dict(n_interior=32, dtype=jnp.float32, poisson="multigrid",
+             tolerance_factor=1e-5, final_time=1.0,
+             step_kernel_mode="interpret", layout="quad"))
+
+
+def test_rb_quad_whole_solve_matches_quad():
+    """Pure-Neumann flavor: the in-kernel per-cycle mean pin must compose
+    with the fused residual exactly as multigrid.solve's pin_mean does."""
+    from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+    _compare_quad_vs_whole(
+        make_rayleigh_benard_case,
+        dict(nx=48, ny=16, rayleigh=1e5, dtype=jnp.float32,
+             tolerance_factor=1e-5, abs_tol=1e-7,
+             step_kernel_mode="interpret", layout="quad"),
+        names=("u", "v", "p", "T"))
+
+
+def test_step_quad_whole_solve_matches_quad():
+    """Masked flavor: exact masked fine level + full-2D-weight hierarchy
+    in-kernel must reproduce make_masked_quad_multigrid_poisson's
+    defect-correction trajectory."""
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+
+    _compare_quad_vs_whole(
+        make_backwards_step_case,
+        dict(nx=64, ny=16, dtype=jnp.float32, poisson="multigrid",
+             tolerance_factor=1e-5, layout="quad",
+             smoother_mode="interpret"))
+
+
+def test_step_whole_solve_requires_quad_path():
+    """whole_solve off the quad fast path fails loudly (the masked XLA
+    path has no whole-solve twin)."""
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+
+    with pytest.raises(ValueError, match="quad fast path"):
+        make_backwards_step_case(
+            nx=64, ny=16, dtype=jnp.float32, poisson="multigrid",
+            mg_overrides={"whole_solve": True})
+
+
+def test_whole_solve_guards_off_quad_path():
+    """The separable factories reject whole_solve when the quad kernel
+    branch is inactive (f64 / CPU natural path) instead of silently
+    running the per-kernel solve — the ADVICE round-2 layout pattern."""
+    from cfd_tpu.cases.cavity import make_cavity_case
+    from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+    with pytest.raises(ValueError, match="whole_solve"):
+        make_cavity_case(n_interior=32, dtype=jnp.float64,
+                         poisson="multigrid",
+                         mg_overrides={"whole_solve": True})
+    with pytest.raises(ValueError, match="whole_solve"):
+        make_rayleigh_benard_case(nx=48, ny=16, dtype=jnp.float64,
+                                  mg_overrides={"whole_solve": True})
+
+
+def test_whole_solve_rejects_shallow_hierarchy():
+    """A grid that coarsens only once has no tail to fuse."""
+    from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+
+    n = 16
+    cfg = M.MGConfig(min_coarse=4)
+    problem = M.cavity_problem(n, n, 1.0 / n, 1.0 / n)
+    with pytest.raises(ValueError, match="coarse levels"):
+        make_quad_whole_solve((n + 2, n + 2), problem,
+                              dataclasses.replace(cfg, min_coarse=8),
+                              interpret=True)

@@ -12,18 +12,26 @@ echo "=== tail sweep start $(date) ===" >> "$LOG"
 # in-kernel op is rejected, instead of after a 2048^2 compile
 timeout 1200 python - >> "$LOG" 2>&1 <<'EOF'
 import jax, jax.numpy as jnp
-from cfd_tpu.cases import make_cavity_case
+from cfd_tpu.cases import make_cavity_case, make_backwards_step_case
 from cfd_tpu.solver import Simulation, make_step
-case = make_cavity_case(n_interior=256, dtype=jnp.float32,
-                        poisson="multigrid", tolerance_factor=1e-5,
-                        mg_overrides={"tail_from": 1})
-sim = Simulation(case, log=lambda *a: None)
-step = jax.jit(make_step(case))
-st = sim.initial_state()
-for _ in range(3):
-    st, d = step(st)
-jax.block_until_ready(st.u)
-print("TAIL MOSAIC SMOKE OK, cycles:", int(d.poisson_iters))
+for name, case in [
+    ("tail", make_cavity_case(n_interior=256, dtype=jnp.float32,
+                              poisson="multigrid", tolerance_factor=1e-5,
+                              mg_overrides={"tail_from": 1})),
+    ("whole", make_cavity_case(n_interior=256, dtype=jnp.float32,
+                               poisson="multigrid", tolerance_factor=1e-5,
+                               mg_overrides={"whole_solve": True})),
+    ("whole-step", make_backwards_step_case(
+        nx=256, ny=32, dtype=jnp.float32, poisson="multigrid",
+        tolerance_factor=1e-5, mg_overrides={"whole_solve": True})),
+]:
+    sim = Simulation(case, log=lambda *a: None)
+    step = jax.jit(make_step(case))
+    st = sim.initial_state()
+    for _ in range(3):
+        st, d = step(st)
+    jax.block_until_ready(jax.tree.leaves(st)[0])
+    print(f"{name} MOSAIC SMOKE OK, cycles:", int(d.poisson_iters), flush=True)
 EOF
 rc=$?
 echo "--- smoke rc=$rc $(date +%T) ---" >> "$LOG"
