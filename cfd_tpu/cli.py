@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--poisson-check-every", type=int, default=1,
                         help="sweeps between residual checks (amortizes the "
                              "global reduction; reference checks every sweep)")
+        sp.add_argument("--mg", default=None, metavar="K=V[,K=V...]",
+                        help="multigrid tuning overrides (MGConfig fields), "
+                             "e.g. --mg pre_sweeps=2,tail_from=1 or "
+                             "--mg whole_solve=true (whole-solve-in-VMEM; "
+                             "f32 quad path)")
         sp.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of the run")
         sp.add_argument("--checkpoint-dir", default=None,
@@ -121,6 +126,28 @@ def make_case_from_args(args):
         kw["print_interval"] = args.print_interval
     if args.save_interval is not None:
         kw["save_interval"] = args.save_interval
+    if args.mg:
+        import dataclasses
+
+        from cfd_tpu.poisson.multigrid import MGConfig
+
+        fields = {f.name: f.type for f in dataclasses.fields(MGConfig)}
+        ov = {}
+        for item in args.mg.split(","):
+            k, _, v = item.partition("=")
+            k = k.strip()
+            if k not in fields:
+                raise SystemExit(
+                    f"--mg: unknown MGConfig field {k!r} "
+                    f"(valid: {', '.join(sorted(fields))})")
+            v = v.strip()
+            if v.lower() in ("true", "false"):
+                ov[k] = v.lower() == "true"
+            elif v.lower() in ("none", ""):
+                ov[k] = None
+            else:
+                ov[k] = float(v) if any(c in v for c in ".e") else int(v)
+        kw["mg_overrides"] = ov
 
     if args.case == "cavity":
         from cfd_tpu.cases import make_cavity_case

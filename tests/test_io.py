@@ -116,6 +116,30 @@ def test_cli_rejects_rectangular_cavity():
         make_case_from_args(args)
 
 
+def test_cli_mg_overrides():
+    """--mg K=V[,K=V] parses into mg_overrides: typed values reach
+    MGConfig, unknown fields are rejected with the valid-field list."""
+    from cfd_tpu.cli import build_parser, make_case_from_args
+
+    args = build_parser().parse_args(
+        ["cavity", "--Nx", "128", "--Ny", "128", "--poisson", "multigrid",
+         "--mg", "pre_sweeps=3,tol_factor=1e-5,tail_from=none"])
+    case = make_case_from_args(args)  # builds without error
+    assert case.poisson_solve is not None
+
+    args = build_parser().parse_args(
+        ["cavity", "--Nx", "128", "--Ny", "128", "--mg", "bogus=1"])
+    with pytest.raises(SystemExit, match="bogus"):
+        make_case_from_args(args)
+
+    # whole_solve=true off the quad path hits the factory's loud guard
+    args = build_parser().parse_args(
+        ["cavity", "--Nx", "128", "--Ny", "128", "--poisson", "multigrid",
+         "--mg", "whole_solve=true"])
+    with pytest.raises(ValueError, match="whole_solve"):
+        make_case_from_args(args)
+
+
 def test_async_exporter_produces_identical_files(tmp_path):
     """AsyncExporter output is byte-identical to synchronous export and the
     collection contains every frame."""
