@@ -121,6 +121,7 @@ def make_backwards_step_case(
     align_state = unalign_state = None
     use_quad = False
     adaptive_carry_builder = None
+    whole_step_kernel = None
     import numpy as _np
     import jax as _jax
 
@@ -171,6 +172,17 @@ def make_backwards_step_case(
                     interpret=interp),
                 corr,
             )
+            if mg.whole_step:
+                # ONE Pallas call per TIME STEP (kernels.whole_step):
+                # masked carry + fluid-mean removal + the exact masked
+                # defect-correction solve in a single kernel.
+                from cfd_tpu.kernels.whole_step import (
+                    make_quad_whole_step_step,
+                )
+
+                whole_step_kernel = make_quad_whole_step_step(
+                    grid, coeffs, mg, step_i_, inlet_j_, inlet_velocity,
+                    interpret=interp)
             if mg.whole_solve:
                 # ONE Pallas call per pressure solve: the exact masked fine
                 # level + the full-2D-weight coarse hierarchy + the
@@ -255,15 +267,19 @@ def make_backwards_step_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "smoother_mode='interpret')")
-    if poisson == "multigrid" and mg.whole_solve and not use_quad:
-        # the masked whole-solve lives on the quad fast path only; fail
-        # loudly rather than silently running the per-kernel path
-        raise ValueError("whole_solve requires the quad fast path for the "
-                         "masked step flavor (f32 + multigrid + quad layout)")
+    if (poisson == "multigrid" and (mg.whole_solve or mg.whole_step)
+            and not use_quad):
+        # the masked whole-solve/whole-step live on the quad fast path
+        # only; fail loudly rather than silently running the per-kernel
+        # path
+        raise ValueError("whole_solve/whole_step require the quad fast "
+                         "path for the masked step flavor (f32 + multigrid "
+                         "+ quad layout)")
     return Case(
         name="backwards_step",
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        whole_step_kernel=whole_step_kernel,
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,

@@ -100,6 +100,7 @@ def make_cavity_case(
     align_state = unalign_state = None
     adaptive_builder = None
     adaptive_carry_builder = None
+    whole_step_kernel = None
     use_quad = False
     import numpy as _np
     import jax as _jax
@@ -165,6 +166,17 @@ def make_cavity_case(
                     grid.shape, problem, mg.omega, mg.post_sweeps,
                     coarse_shape, interpret=interp),
             )
+            if mg.whole_step:
+                # ONE Pallas call per TIME STEP (kernels.whole_step):
+                # carry + the whole tolerance-driven solve in a single
+                # kernel; step_kernels stay for stats/export/adaptive.
+                from cfd_tpu.kernels.whole_step import (
+                    make_quad_whole_step_cavity,
+                )
+
+                whole_step_kernel = make_quad_whole_step_cavity(
+                    grid.shape, problem, coeffs, mg, lid_velocity,
+                    interpret=interp)
             if mg.whole_solve:
                 # ONE Pallas call per pressure solve (kernels.whole_solve):
                 # the whole tolerance loop runs in-kernel, every level
@@ -328,13 +340,16 @@ def make_cavity_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "step_kernel_mode='interpret')")
-    if poisson == "multigrid" and mg.whole_solve and not use_quad:
-        # whole_solve must not be silently ignored off the quad path
-        raise ValueError("whole_solve requires the f32 quad multigrid "
-                         "kernel path")
+    if (poisson == "multigrid" and (mg.whole_solve or mg.whole_step)
+            and not use_quad):
+        # whole_solve/whole_step must not be silently ignored off the
+        # quad path
+        raise ValueError("whole_solve/whole_step require the f32 quad "
+                         "multigrid kernel path")
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
+        whole_step_kernel=whole_step_kernel,
         forcing=forcing,
         carry_tentative=use_quad,
         align_state=align_state,

@@ -93,6 +93,7 @@ def make_channel_case(
     align_state = unalign_state = None
     use_quad = False
     adaptive_carry_builder = None
+    whole_step_kernel = None
     import numpy as _np
     import jax as _jax
 
@@ -154,6 +155,15 @@ def make_channel_case(
                     grid.shape, problem, mg.omega, mg.post_sweeps,
                     coarse_shape, interpret=interp),
             )
+            if mg.whole_step:
+                # ONE Pallas call per TIME STEP (kernels.whole_step)
+                from cfd_tpu.kernels.whole_step import (
+                    make_quad_whole_step_channel,
+                )
+
+                whole_step_kernel = make_quad_whole_step_channel(
+                    grid.shape, problem, coeffs, mg, nx * ny,
+                    inlet_velocity, interpret=interp)
             if mg.whole_solve:
                 # ONE Pallas call per pressure solve (kernels.whole_solve):
                 # the whole tolerance loop runs in-kernel, every level
@@ -275,12 +285,15 @@ def make_channel_case(
             f"layout={layout!r} requires the f32 multigrid kernel path "
             "(dtype=float32, poisson='multigrid', TPU platform or "
             "step_kernel_mode='interpret')")
-    if poisson == "multigrid" and mg.whole_solve and not use_quad:
-        # whole_solve must not be silently ignored off the quad path
-        raise ValueError("whole_solve requires the f32 quad multigrid "
-                         "kernel path")
+    if (poisson == "multigrid" and (mg.whole_solve or mg.whole_step)
+            and not use_quad):
+        # whole_solve/whole_step must not be silently ignored off the
+        # quad path
+        raise ValueError("whole_solve/whole_step require the f32 quad "
+                         "multigrid kernel path")
     return Case(
         name="channel",
+        whole_step_kernel=whole_step_kernel,
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,
         carry_tentative=use_quad,

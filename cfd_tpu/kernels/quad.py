@@ -969,6 +969,25 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
 
     Stencil radius: corrector (1) + ghost BCs (1) + predictor (2) + source
     (1) = 5 rows < halo 8."""
+    compute = cavity_carry_compute(shape, coeffs, lid_velocity,
+                                   traced_dt=traced_dt,
+                                   emit_courant=emit_courant)
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8,
+        scalar_reduce=("max", "max", "max") if emit_courant else "max",
+        vmem_bytes_per_cell=390,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
+    return call
+
+
+def cavity_carry_compute(shape, coeffs, lid_velocity: float = 1.0,
+                         traced_dt: bool = False,
+                         emit_courant: bool = False):
+    """``compute(s, qins, fin, consts, scalars)`` of the tentative-carry
+    cavity stage (make_quad_corr_predictor_source) — shared by the slab
+    kernel factory and kernels.whole_step's whole-array embedding."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -1024,14 +1043,7 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
             sarr = [jnp.abs(a) for a in b]
         return [us2, vs2, b, guess], None, sarr
 
-    call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8,
-        scalar_reduce=("max", "max", "max") if emit_courant else "max",
-        vmem_bytes_per_cell=390,
-        shard=None if shard is None else shard[0],
-        scalar_params=2 if traced_dt else 0)
-    return call
+    return compute
 
 
 def make_quad_channel_corr_predictor_source(shape, coeffs,
@@ -1055,6 +1067,25 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
     make_quad_corr_predictor_source — a leading (dt_corr, dt_pred) SMEM
     scalar pair, and max|u2|/max|v2| of the corrected+BC'd fields appended
     after sum_b'."""
+    compute = channel_carry_compute(shape, coeffs, inlet_velocity,
+                                    traced_dt=traced_dt,
+                                    emit_courant=emit_courant)
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
+        vmem_bytes_per_cell=500,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
+    return call
+
+
+def channel_carry_compute(shape, coeffs, inlet_velocity: float = 1.0,
+                          traced_dt: bool = False,
+                          emit_courant: bool = False):
+    """``compute(s, qins, fin, consts, scalars)`` of the tentative-carry
+    channel stage (make_quad_channel_corr_predictor_source) — shared by
+    the slab kernel factory and kernels.whole_step."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -1111,14 +1142,7 @@ def make_quad_channel_corr_predictor_source(shape, coeffs,
             sarr = list(b)
         return [us2, vs2, b, guess], None, sarr
 
-    call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8,
-        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
-        vmem_bytes_per_cell=500,
-        shard=None if shard is None else shard[0],
-        scalar_params=2 if traced_dt else 0)
-    return call
+    return compute
 
 
 def uncorrect_quad(u, v, p, shape, coeffs, cavity_form: bool, dt=None):

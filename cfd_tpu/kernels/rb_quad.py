@@ -105,6 +105,25 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
     with a leading traced ``row_base`` SMEM scalar, exactly the
     kernels.quad sharded contract (scalar reductions become own-row
     per-device partials the caller psums/pmaxes)."""
+    compute = rb_carry_compute(shape, coeffs, kappa, t_bottom, t_top,
+                               buoyancy, traced_dt=traced_dt,
+                               emit_courant=emit_courant)
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
+        vmem_bytes_per_cell=550, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
+    return call
+
+
+def rb_carry_compute(shape, coeffs, kappa: float, t_bottom: float = 1.0,
+                     t_top: float = 0.0, buoyancy: float = 1.0,
+                     traced_dt: bool = False, emit_courant: bool = False):
+    """``compute(s, qins, fin, consts, scalars)`` of the fused
+    tentative-carry Rayleigh-Benard stage (make_quad_rb_step_kernel) —
+    shared by the slab kernel factory and kernels.whole_step."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -183,14 +202,7 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
             sarr = list(b)
         return [us2, vs2, T2, b], None, sarr
 
-    call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8,
-        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
-        vmem_bytes_per_cell=550, vmem_headroom=24e6,
-        shard=None if shard is None else shard[0],
-        scalar_params=2 if traced_dt else 0)
-    return call
+    return compute
 
 
 def make_quad_rb_corrector(shape, coeffs, tile_rows: int = 128,

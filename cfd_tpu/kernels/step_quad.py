@@ -128,6 +128,26 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
     ``shard``: (P, mdy) for the SPMD variant (the kernels.quad sharded
     contract: local (4, P+16, W) blocks, leading traced row_base scalar,
     own-row partial reductions)."""
+    compute = step_carry_compute(shape, coeffs, step_i, inlet_j,
+                                 inlet_velocity, traced_dt=traced_dt,
+                                 emit_courant=emit_courant)
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=3, n_qout=3, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=8,
+        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
+        vmem_bytes_per_cell=420, vmem_headroom=24e6,
+        shard=None if shard is None else shard[0],
+        scalar_params=2 if traced_dt else 0)
+    return call
+
+
+def step_carry_compute(shape, coeffs, step_i: int, inlet_j: int,
+                       inlet_velocity: float = 1.0,
+                       traced_dt: bool = False,
+                       emit_courant: bool = False):
+    """``compute(s, qins, fin, consts, scalars)`` of the tentative-carry
+    masked step stage (make_quad_step_corr_predictor_source) — shared by
+    the slab kernel factory and kernels.whole_step."""
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     idx, idy = coeffs.idx, coeffs.idy
@@ -178,14 +198,7 @@ def make_quad_step_corr_predictor_source(shape, coeffs, step_i: int,
             sarr = list(b)
         return [us2, vs2, b], None, sarr
 
-    call, _ = _make_quad_slab_kernel(
-        shape, n_qin=3, n_qout=3, compute=compute, tile_rows=tile_rows,
-        interpret=interpret, halo=8,
-        scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
-        vmem_bytes_per_cell=420, vmem_headroom=24e6,
-        shard=None if shard is None else shard[0],
-        scalar_params=2 if traced_dt else 0)
-    return call
+    return compute
 
 
 def make_quad_step_corrector(shape, coeffs, step_i: int, inlet_j: int,

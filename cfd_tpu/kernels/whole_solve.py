@@ -33,6 +33,10 @@ subtraction runs in-kernel after the fused residual (valid because the
 constant is the operator's nullspace — the same argument as
 multigrid.solve's pin_mean composition).
 
+The V-cycle bodies are exposed as ``separable_vcycle_ctx`` /
+``masked_vcycle_ctx`` so kernels.whole_step can embed the same solve
+inside the fused whole-time-step kernel.
+
 Float32 only (the performance path).  Reference anchor: this replaces the
 SOR hot loop of /root/reference/cavity-01.cpp:609-690 (and the channel/
 step twins) at production sizes; equivalence to the per-kernel path is
@@ -123,26 +127,25 @@ def _make_solve(call, consts, cfg: MGConfig):
     return solve
 
 
-def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
-                          pin_mean: bool = False,
-                          n_interior: int | None = None,
-                          interpret: bool = False):
-    """Returns ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` with
-    the quad-layout multigrid solve contract of
-    ``make_multigrid_poisson(..., quad_level0=...)`` — in ONE Pallas call.
+def tolerance_loop(p0, vcycle, tol, max_cycles: int, stall_ratio: float):
+    """multigrid.solve's stopping rule on in-kernel VALUES: iterate
+    ``vcycle([p0..p3]) -> (p, res)`` from the 4-tuple ``p0`` until
+    res <= tol, max_cycles, or stall. Returns (p 4-tuple, cycles, res)."""
+    def cond(carry):
+        _, _, _, _, res, prev, it = carry
+        return (res > tol) & (it < max_cycles) & (res < stall_ratio * prev)
 
-    Raises ValueError when the hierarchy's total VMEM footprint exceeds the
-    per-kernel cap (use the per-kernel path at such sizes) or when the
-    aligned level-1 shape does not coincide with the quad plane shape.
-    """
-    if np.dtype(jnp.float32) != np.float32:  # pragma: no cover - sanity
-        raise AssertionError
-    H, Wp = shape
-    ny, nx = H - 2, Wp - 2
-    nyc, nxc = ny // 2, nx // 2
-    Hq, Wq, Hq8, Wqa = quad_dims(shape)
-    n_int = n_interior or (nx * ny)
+    def body(carry):
+        pa, pb, pc, pd, res, _, it = carry
+        p, new_res = vcycle([pa, pb, pc, pd])
+        return (*p, new_res, res, it + 1)
 
+    big = jnp.float32(1e30)
+    out = jax.lax.while_loop(cond, body, (*p0, big / 2, big, jnp.int32(0)))
+    return out[:4], out[6], out[4]
+
+
+def _coarsen_chain(problem: PoissonProblem, cfg: MGConfig):
     probs = [problem]
     while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
            and probs[-1].nx // 2 >= cfg.min_coarse
@@ -150,6 +153,28 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
         probs.append(coarsen_problem(probs[-1]))
     if len(probs) < 3:
         raise ValueError("whole-solve needs >= 2 coarse levels")
+    return probs
+
+
+def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
+                         pin_mean: bool = False,
+                         n_interior: int | None = None):
+    """VMEM-resident V-cycle context for the separable quad flavors
+    (cavity / channel / Rayleigh-Benard).
+
+    Returns ``(consts, est_fixed, plane_shape, make_vcycle)``: the jnp
+    constant list to append to the pallas_call inputs, their + the coarse
+    levels' live-array VMEM footprint, the (Hq8, Wqa) plane shape, and
+    ``make_vcycle(getc, b) -> vcycle(p4_list) -> (p4_list, res)`` — the
+    in-kernel body (``getc(i)`` loads consts[i]; pin_mean's per-cycle
+    interior mean shift is folded in after the fused residual)."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    nyc, nxc = ny // 2, nx // 2
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    n_int = n_interior or (nx * ny)
+
+    probs = _coarsen_chain(problem, cfg)
     levels = [_build_level(p, jnp.float32, aligned=True) for p in probs[1:]]
     if levels[0].shape != (Hq8, Wqa):
         raise ValueError(f"aligned coarse shape {levels[0].shape} != quad "
@@ -162,36 +187,20 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
     n_fine = len(fine_consts)
     consts = [jnp.asarray(c, jnp.float32) for c in fine_consts] \
         + [jnp.asarray(c, jnp.float32) for c in tail_consts]
-
-    # VMEM estimate: finest quad p (in + carry + out) and b + 3 live arrays
-    # per coarse level + all constants, lane padding accounted.
-    qfield = 4 * _ref_bytes((Hq8, Wqa))
-    est = (4 * qfield
-           + sum(3 * _ref_bytes(lv.shape) for lv in levels)
-           + tail_consts_bytes(tail_consts)
-           + sum(_ref_bytes(np.asarray(c).shape) for c in fine_consts))
-    vmem_limit = int(1.5 * est + 20e6)
-    if vmem_limit > 115e6:
-        raise ValueError(
-            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
-            f"{shape} — use the per-kernel quad path")
+    est_fixed = (sum(3 * _ref_bytes(lv.shape) for lv in levels)
+                 + tail_consts_bytes(tail_consts)
+                 + sum(_ref_bytes(np.asarray(c).shape) for c in fine_consts))
 
     idx2 = 1.0 / (problem.dx * problem.dx)
     idy2 = 1.0 / (problem.dy * problem.dy)
     omega = float(cfg.omega)
     pre_sweeps, post_sweeps = cfg.pre_sweeps, cfg.post_sweeps
-    max_cycles = int(cfg.max_cycles)
-    stall_ratio = float(cfg.stall_ratio)
 
-    def kernel(p_ref, b_ref, tol_ref, *refs):
-        cref = refs[:-2]
-        out_ref, sref = refs[-2], refs[-1]
-        tol = tol_ref[0]
-        b = [b_ref[q] for q in range(4)]
-        wE = [cref[0][...], cref[1][...]]
-        wW = [cref[2][...], cref[3][...]]
-        wN = [cref[4][...], cref[5][...]]
-        wS = [cref[6][...], cref[7][...]]
+    def make_vcycle(getc, b):
+        wE = [getc(0), getc(1)]
+        wW = [getc(2), getc(3)]
+        wN = [getc(4), getc(5)]
+        wS = [getc(6), getc(7)]
         grow, gcol = _qiota(0, Hq8, Wqa)
         masks = [(g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
                  for g, c in zip(grow, gcol)]
@@ -201,7 +210,7 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
         Jc = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 0)
         Ic = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 1)
         cmask = (Jc >= 1) & (Jc <= nyc) & (Ic >= 1) & (Ic <= nxc)
-        getc = lambda i: cref[n_fine + i][...]
+        tail_getc = lambda i: getc(n_fine + i)
         if pin_mean:
             cell = [m.astype(jnp.float32) for m in masks]
 
@@ -218,7 +227,7 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
             rc = jnp.where(cmask, rc, jnp.zeros_like(rc))
 
             # --- the whole coarse hierarchy (kernels.mg_tail body)
-            ec = run_tail_vcycle(levels, rc, getc, w_idx, t_idx, m_idx,
+            ec = run_tail_vcycle(levels, rc, tail_getc, w_idx, t_idx, m_idx,
                                  omega, pre_sweeps, post_sweeps)
 
             # --- finest level: bilinear prolongation + post-smooth +
@@ -230,51 +239,27 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
                                    wE, wW, wN, wS, masks, band)
             r = _residual_quad(p, b, idx2, idy2, wE, wW, wN, wS, masks)
             new_res = jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in r]))
-            return p, new_res
-
-        def cond(carry):
-            _, _, _, _, res, prev, it = carry
-            return (res > tol) & (it < max_cycles) & (res < stall_ratio * prev)
-
-        def body(carry):
-            p0, p1, p2, p3, res, _, it = carry
-            p, new_res = vcycle([p0, p1, p2, p3])
             if pin_mean:
                 # pure Neumann: the constant is the nullspace, so the fused
                 # residual stays valid after the shift (multigrid.solve)
                 mean = sum(jnp.sum(a) for a in p) / n_int
                 p = [a - mean * m for a, m in zip(p, cell)]
-            return (*p, new_res, res, it + 1)
+            return p, new_res
 
-        big = jnp.float32(1e30)
-        init = (p_ref[0], p_ref[1], p_ref[2], p_ref[3],
-                big / 2, big, jnp.int32(0))
-        out = jax.lax.while_loop(cond, body, init)
-        for q in range(4):
-            out_ref[q] = out[q]
-        sref[0, 0] = out[6].astype(jnp.float32)
-        sref[0, 1] = out[4]
+        return vcycle
 
-    call = _whole_call(kernel, len(consts), (Hq8, Wqa), vmem_limit,
-                       interpret)
-    return _make_solve(call, consts, cfg)
+    return consts, est_fixed, (Hq8, Wqa), make_vcycle
 
 
-def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
-                               interpret: bool = False):
-    """The MASKED (backwards-step) whole-solve: the exact quad fine level
-    (ghost refresh incl. solid-cell averaging + dense red/black planes,
-    kernels.step_quad semantics), the full-2D-weight coarse hierarchy
-    (kernels.mg_tail full-weight mode) and the tolerance loop in ONE
-    Pallas call — the fused twin of
-    poisson.multigrid.make_masked_quad_multigrid_poisson with the same
-    ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` contract.
-
-    Defect-correction structure is preserved exactly: the fine level runs
-    the reference's exact masked operator
-    (/root/reference/backwards_step-01.cpp:685-740 ghosts), the coarse
-    hierarchy the weighted approximation; equivalence to the per-kernel
-    composition is asserted in tests/test_whole_solve.py."""
+def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
+    """VMEM-resident V-cycle context for the MASKED (backwards-step)
+    flavor: the exact quad fine level (ghost refresh incl. solid-cell
+    averaging + dense red/black planes, kernels.step_quad semantics) over
+    the full-2D-weight coarse hierarchy (kernels.mg_tail full-weight
+    mode), defect-correction structure preserved exactly
+    (/root/reference/backwards_step-01.cpp:685-740 ghosts on the fine
+    level, weighted approximation below). Same contract as
+    separable_vcycle_ctx."""
     from cfd_tpu.kernels.step_quad import (
         _exact_residual_quad,
         _smooth_stage_quad,
@@ -295,13 +280,8 @@ def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
     Hq, Wq, Hq8, Wqa = quad_dims(grid.shape)
     idx2, idy2 = coeffs.idx2, coeffs.idy2
 
-    probs = [masked_channel_problem(grid, coeffs.dx, coeffs.dy)]
-    while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
-           and probs[-1].nx // 2 >= cfg.min_coarse
-           and probs[-1].ny // 2 >= cfg.min_coarse):
-        probs.append(coarsen_problem(probs[-1]))
-    if len(probs) < 3:
-        raise ValueError("whole-solve needs >= 2 coarse levels")
+    probs = _coarsen_chain(masked_channel_problem(grid, coeffs.dx,
+                                                  coeffs.dy), cfg)
     levels = [_build_level(p, jnp.float32, aligned=True, allow_full=True)
               for p in probs[1:]]
     if levels[0].shape != (Hq8, Wqa):
@@ -311,27 +291,13 @@ def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
 
     tail_consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
     consts = [jnp.asarray(c, jnp.float32) for c in tail_consts]
-
-    qfield = 4 * _ref_bytes((Hq8, Wqa))
-    est = (4 * qfield
-           + sum(3 * _ref_bytes(lv.shape) for lv in levels)
-           + tail_consts_bytes(tail_consts))
-    vmem_limit = int(1.5 * est + 20e6)
-    if vmem_limit > 115e6:
-        raise ValueError(
-            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
-            f"{grid.shape} — use the per-kernel quad path")
+    est_fixed = (sum(3 * _ref_bytes(lv.shape) for lv in levels)
+                 + tail_consts_bytes(tail_consts))
 
     omega = float(cfg.omega)
     pre_sweeps, post_sweeps = cfg.pre_sweeps, cfg.post_sweeps
-    max_cycles = int(cfg.max_cycles)
-    stall_ratio = float(cfg.stall_ratio)
 
-    def kernel(p_ref, b_ref, tol_ref, *refs):
-        cref = refs[:-2]
-        out_ref, sref = refs[-2], refs[-1]
-        tol = tol_ref[0]
-        b = [b_ref[q] for q in range(4)]
+    def make_vcycle(getc, b):
         grow, gcol = _qiota(0, Hq8, Wqa)
         fluid, _, _ = _step_masks(grow, gcol, ny, nx, step_i, inlet_j)
         # whole-array "slab" at s=0: the band ledger is all-true at every
@@ -340,7 +306,6 @@ def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
         Jc = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 0)
         Ic = jax.lax.broadcasted_iota(jnp.int32, (Hq8, Wqa), 1)
         cmask = (Jc >= 1) & (Jc <= nyc) & (Ic >= 1) & (Ic <= nxc)
-        getc = lambda i: cref[i][...]
 
         def vcycle(p):
             # --- exact masked fine level: pre pairs + residual + restrict
@@ -375,24 +340,70 @@ def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
             new_res = jnp.max(jnp.stack([jnp.max(jnp.abs(a)) for a in r]))
             return p, new_res
 
-        def cond(carry):
-            _, _, _, _, res, prev, it = carry
-            return (res > tol) & (it < max_cycles) & (res < stall_ratio * prev)
+        return vcycle
 
-        def body(carry):
-            p0, p1, p2, p3, res, _, it = carry
-            p, new_res = vcycle([p0, p1, p2, p3])
-            return (*p, new_res, res, it + 1)
+    return consts, est_fixed, (Hq8, Wqa), make_vcycle
 
-        big = jnp.float32(1e30)
-        init = (p_ref[0], p_ref[1], p_ref[2], p_ref[3],
-                big / 2, big, jnp.int32(0))
-        out = jax.lax.while_loop(cond, body, init)
+
+def _solve_from_ctx(ctx, cfg: MGConfig, what: str, interpret: bool):
+    """Wrap a vcycle context into the single-call solve: (p4, b4, tol) ->
+    (p4, (cycles, res))."""
+    consts, est_fixed, plane_shape, make_vcycle = ctx
+    # VMEM estimate: finest quad p (in + carry + out) and b + the context's
+    # fixed footprint (coarse levels + constants), lane padding accounted.
+    qfield = 4 * _ref_bytes(plane_shape)
+    est = 4 * qfield + est_fixed
+    vmem_limit = int(1.5 * est + 20e6)
+    if vmem_limit > 115e6:
+        raise ValueError(
+            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
+            f"{what} — use the per-kernel quad path")
+    max_cycles = int(cfg.max_cycles)
+    stall_ratio = float(cfg.stall_ratio)
+
+    def kernel(p_ref, b_ref, tol_ref, *refs):
+        cref = refs[:-2]
+        out_ref, sref = refs[-2], refs[-1]
+        b = [b_ref[q] for q in range(4)]
+        vcycle = make_vcycle(lambda i: cref[i][...], b)
+        p, cycles, res = tolerance_loop(
+            tuple(p_ref[q] for q in range(4)), vcycle, tol_ref[0],
+            max_cycles, stall_ratio)
         for q in range(4):
-            out_ref[q] = out[q]
-        sref[0, 0] = out[6].astype(jnp.float32)
-        sref[0, 1] = out[4]
+            out_ref[q] = p[q]
+        sref[0, 0] = cycles.astype(jnp.float32)
+        sref[0, 1] = res
 
-    call = _whole_call(kernel, len(consts), (Hq8, Wqa), vmem_limit,
+    call = _whole_call(kernel, len(consts), plane_shape, vmem_limit,
                        interpret)
     return _make_solve(call, consts, cfg)
+
+
+def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
+                          pin_mean: bool = False,
+                          n_interior: int | None = None,
+                          interpret: bool = False):
+    """Returns ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` with
+    the quad-layout multigrid solve contract of
+    ``make_multigrid_poisson(..., quad_level0=...)`` — in ONE Pallas call.
+
+    Raises ValueError when the hierarchy's total VMEM footprint exceeds the
+    per-kernel cap (use the per-kernel path at such sizes) or when the
+    aligned level-1 shape does not coincide with the quad plane shape.
+    """
+    ctx = separable_vcycle_ctx(shape, problem, cfg, pin_mean=pin_mean,
+                               n_interior=n_interior)
+    return _solve_from_ctx(ctx, cfg, str(shape), interpret)
+
+
+def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
+                               interpret: bool = False):
+    """The MASKED (backwards-step) whole-solve: the exact quad fine level,
+    the full-2D-weight coarse hierarchy and the tolerance loop in ONE
+    Pallas call — the fused twin of
+    poisson.multigrid.make_masked_quad_multigrid_poisson with the same
+    ``solve(p4_warm, b4, max_b=None) -> (p4, cycles, res)`` contract
+    (see masked_vcycle_ctx; equivalence asserted in
+    tests/test_whole_solve.py)."""
+    ctx = masked_vcycle_ctx(grid, coeffs, cfg)
+    return _solve_from_ctx(ctx, cfg, str(grid.shape), interpret)

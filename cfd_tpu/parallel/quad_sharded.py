@@ -161,12 +161,13 @@ def make_sharded_quad_solve(problem: M.PoissonProblem, cfg: M.MGConfig,
     consistent, and the fused residual stays valid because the constant
     is exactly the nullspace — same argument as the single-device path,
     poisson.multigrid make_multigrid_poisson)."""
-    if cfg.whole_solve:
-        # the whole-solve kernel needs the full fine level in one device's
-        # VMEM; under shard_map the fine level is SPMD — fail loudly
-        # rather than silently running the per-kernel sharded path
-        raise ValueError("whole_solve is single-device only (the sharded "
-                         "path fuses the coarse tail via tail_from instead)")
+    if cfg.whole_solve or cfg.whole_step:
+        # the whole-solve/whole-step kernels need the full fine level in
+        # one device's VMEM; under shard_map the fine level is SPMD — fail
+        # loudly rather than silently running the per-kernel sharded path
+        raise ValueError("whole_solve/whole_step are single-device only "
+                         "(the sharded path fuses the coarse tail via "
+                         "tail_from instead)")
     Hq8s, P, W = quad_shard_dims(shape, mdy)
     dtype = jnp.float32
     loc = (P + 2 * DEV_HALO, W)
@@ -402,9 +403,10 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
         make_quad_step_pre_smooth_restrict,
     )
 
-    if cfg.whole_solve:
-        raise ValueError("whole_solve is single-device only (the sharded "
-                         "path fuses the coarse tail via tail_from instead)")
+    if cfg.whole_solve or cfg.whole_step:
+        raise ValueError("whole_solve/whole_step are single-device only "
+                         "(the sharded path fuses the coarse tail via "
+                         "tail_from instead)")
     rect = M.step_rect_params(grid)
     if rect is None:
         raise ValueError("sharded masked multigrid requires the reference's "

@@ -227,10 +227,11 @@ def make_rayleigh_benard_case(
         raise ValueError(
             "layout='quad' requires the f32 kernel path (dtype=float32, "
             "TPU platform or step_kernel_mode='interpret')")
-    if mg.whole_solve and not use_quad:
-        # whole_solve must not be silently ignored off the quad path
-        raise ValueError("whole_solve requires the f32 quad multigrid "
-                         "kernel path")
+    if (mg.whole_solve or mg.whole_step) and not use_quad:
+        # whole_solve/whole_step must not be silently ignored off the
+        # quad path
+        raise ValueError("whole_solve/whole_step require the f32 quad "
+                         "multigrid kernel path")
 
     if use_quad:
         from cfd_tpu.kernels.rb_quad import (
@@ -278,15 +279,35 @@ def make_rayleigh_benard_case(
             cm = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
             return jnp.where(cm, b - sum_b / n_cells, b)
 
-        def custom_step(case: Case):
-            def step(state: State):
-                us2, vs2, T2, b, sum_b = fused(state.u, state.v, state.p,
-                                               state.T)
-                b = remove_mean(b, sum_b)
-                p, iters, res = poisson(state.p, b)
-                return State(us2, vs2, p, T2), StepDiagnostics(iters, res)
+        if mg.whole_step:
+            # ONE Pallas call per TIME STEP (kernels.whole_step): the fused
+            # RB carry + mean removal + the pure-Neumann pinned solve.
+            from cfd_tpu.kernels.whole_step import make_quad_whole_step_rb
 
-            return step
+            ws = make_quad_whole_step_rb(
+                grid.shape, problem, coeffs, mg, kappa, nx * ny,
+                params.t_bottom, params.t_top, buoyancy=buoy,
+                interpret=interp)
+
+            def custom_step(case: Case):
+                def step(state: State):
+                    us2, vs2, T2, p, iters, res = ws(state.u, state.v,
+                                                     state.p, state.T)
+                    return State(us2, vs2, p, T2), \
+                        StepDiagnostics(iters, res)
+
+                return step
+        else:
+            def custom_step(case: Case):
+                def step(state: State):
+                    us2, vs2, T2, b, sum_b = fused(state.u, state.v,
+                                                   state.p, state.T)
+                    b = remove_mean(b, sum_b)
+                    p, iters, res = poisson(state.p, b)
+                    return State(us2, vs2, p, T2), \
+                        StepDiagnostics(iters, res)
+
+                return step
 
         def align_state(state):
             us, vs = uncorrect_rb_quad(state.u, state.v, state.p,

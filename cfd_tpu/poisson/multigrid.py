@@ -376,6 +376,11 @@ class MGConfig:
     # hierarchy fitting in VMEM (secondary-case sizes). Supersedes
     # tail_from. Honored by the f32 quad paths only.
     whole_solve: bool = False
+    # Fuse the whole TIME STEP into ONE Pallas call (kernels.whole_step):
+    # the tentative-carry stage + source mean removal + the whole_solve
+    # solve in a single kernel — 1 launch/step. Supersedes whole_solve.
+    # Same VMEM/quad requirements; f32 quad paths only.
+    whole_step: bool = False
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:

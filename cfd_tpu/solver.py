@@ -97,6 +97,11 @@ class Case:
     align_state: Optional[Callable] = None
     unalign_state: Optional[Callable] = None
     custom_step: Optional[Callable] = None
+    # Whole-time-step kernel (kernels.whole_step, MGConfig.whole_step):
+    # ONE Pallas call running carry + mean removal + the entire pressure
+    # solve; replaces the fused-kernel + poisson_solve composition on the
+    # hot path (step_kernels stay for stats/export/adaptive).
+    whole_step_kernel: Optional[Callable] = None
     # Optional body-force (momentum source) arrays on the u-/v-faces,
     # applied as +dt*f in the predictor — framework extension (no reference
     # analog): gravity-style sources and MMS verification forcing
@@ -178,7 +183,24 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
     if case.carry_tentative and case.step_kernels is not None:
         fused = case.step_kernels[0]
 
-        if case.ordering == "cavity":
+        if case.whole_step_kernel is not None:
+            ws = case.whole_step_kernel
+            if case.ordering == "cavity" or extrap:
+                # extrapolated 2p - p_prev warm start computed in-kernel;
+                # the p_prev slot keeps carrying the pre-solve p
+                def step(state: State) -> tuple[State, StepDiagnostics]:
+                    us2, vs2, p, iters, res = ws(state.u, state.v,
+                                                 state.p, state.p_prev)
+                    return State(us2, vs2, p, state.T, state.p), \
+                        StepDiagnostics(iters, res)
+
+            else:  # masked step flavor: plain previous-p warm start
+                def step(state: State) -> tuple[State, StepDiagnostics]:
+                    us2, vs2, p, iters, res = ws(state.u, state.v, state.p)
+                    return State(us2, vs2, p, state.T, None), \
+                        StepDiagnostics(iters, res)
+
+        elif case.ordering == "cavity":
 
             def step(state: State) -> tuple[State, StepDiagnostics]:
                 us2, vs2, b, guess, max_b = fused(

@@ -64,6 +64,7 @@ def main():
         ("V(2,1) tail1", {"tail_from": 1}),
         ("V(2,1) tail2", {"tail_from": 2}),
         ("V(2,1) whole", {"whole_solve": True}),
+        ("V(2,1) wstep", {"whole_step": True}),
         ("V(2,2) mc4", {"post_sweeps": 2}),
         ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
         ("V(2,2) mc16", {"post_sweeps": 2, "min_coarse": 16}),
@@ -79,6 +80,7 @@ def main():
             ("V(2,1) tail1", {"post_sweeps": 1, "tail_from": 1}),
             ("V(2,1) tail2", {"post_sweeps": 1, "tail_from": 2}),
             ("V(2,1) whole", {"post_sweeps": 1, "whole_solve": True}),
+            ("V(2,1) wstep", {"post_sweeps": 1, "whole_step": True}),
             ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
             ("V(2,1) mc16", {"post_sweeps": 1, "min_coarse": 16}),
         ]

@@ -24,6 +24,12 @@ for name, case in [
     ("whole-step", make_backwards_step_case(
         nx=256, ny=32, dtype=jnp.float32, poisson="multigrid",
         tolerance_factor=1e-5, mg_overrides={"whole_solve": True})),
+    ("wstep", make_cavity_case(n_interior=256, dtype=jnp.float32,
+                               poisson="multigrid", tolerance_factor=1e-5,
+                               mg_overrides={"whole_step": True})),
+    ("wstep-masked", make_backwards_step_case(
+        nx=256, ny=32, dtype=jnp.float32, poisson="multigrid",
+        tolerance_factor=1e-5, mg_overrides={"whole_step": True})),
 ]:
     sim = Simulation(case, log=lambda *a: None)
     step = jax.jit(make_step(case))
@@ -41,7 +47,7 @@ if [ "$rc" -ne 0 ]; then
 fi
 for mode in step rb channel cavity cavity4096; do
   echo "--- case_tune $mode $(date +%T) ---" >> "$LOG"
-  timeout 3000 python tools/case_tune.py "$mode" 150 50 >> "$LOG" 2>&1
+  timeout 4500 python tools/case_tune.py "$mode" 150 50 >> "$LOG" 2>&1
   rc=$?
   echo "--- $mode done rc=$rc $(date +%T) ---" >> "$LOG"
   # a timeout-killed TPU process wedges the chip ~2 min; never chain
