@@ -183,19 +183,24 @@ def make_backwards_step_case(
                 whole_step_kernel = make_quad_whole_step_step(
                     grid, coeffs, mg, step_i_, inlet_j_, inlet_velocity,
                     interpret=interp)
-            if mg.whole_solve:
-                # ONE Pallas call per pressure solve: the exact masked fine
-                # level + the full-2D-weight coarse hierarchy + the
-                # tolerance loop all in-kernel (kernels.whole_solve).
-                from cfd_tpu.kernels.whole_solve import (
-                    make_quad_step_whole_solve,
-                )
+            # ONE Pallas call per pressure solve: the exact masked fine
+            # level + the full-2D-weight coarse hierarchy + the tolerance
+            # loop all in-kernel (kernels.whole_solve) — the measured
+            # round-3 DEFAULT where the hierarchy fits in VMEM (2715 vs
+            # 2248 steps/s at 2048x256, BASELINE.md); falls back to the
+            # per-kernel composition when the build rejects or a fusion
+            # knob takes manual control (auto_whole_solve docstring).
+            from cfd_tpu.kernels.whole_solve import (
+                auto_whole_solve,
+                make_quad_step_whole_solve,
+            )
 
-                solve = make_quad_step_whole_solve(grid, coeffs, mg,
-                                                   interpret=interp)
-            else:
-                solve = make_masked_quad_multigrid_poisson(
-                    grid, coeffs, mg, dtype=dtype, interpret=interp)
+            solve, mg = auto_whole_solve(
+                mg, mg_overrides, interp,
+                build=lambda: make_quad_step_whole_solve(grid, coeffs, mg,
+                                                         interpret=interp),
+                fallback=lambda: make_masked_quad_multigrid_poisson(
+                    grid, coeffs, mg, dtype=dtype, interpret=interp))
 
             def align_state(state):
                 us, vs = uncorrect_step_quad(state.u, state.v, state.p,

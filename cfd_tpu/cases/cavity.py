@@ -177,21 +177,24 @@ def make_cavity_case(
                 whole_step_kernel = make_quad_whole_step_cavity(
                     grid.shape, problem, coeffs, mg, lid_velocity,
                     interpret=interp)
-            if mg.whole_solve:
-                # ONE Pallas call per pressure solve (kernels.whole_solve):
-                # the whole tolerance loop runs in-kernel, every level
-                # VMEM-resident — same (p, cycles, res) contract. Raises at
-                # build time when the hierarchy exceeds the VMEM cap (e.g.
-                # 2048^2 cavity) — use the per-kernel path there.
-                from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+            # ONE Pallas call per pressure solve (kernels.whole_solve) —
+            # the measured round-3 DEFAULT wherever the hierarchy fits in
+            # VMEM; falls back to the per-kernel composition at sizes the
+            # build rejects (e.g. 2048^2). Explicit fusion-knob overrides
+            # take manual control (auto_whole_solve docstring).
+            from cfd_tpu.kernels.whole_solve import (
+                auto_whole_solve,
+                make_quad_whole_solve,
+            )
 
-                solve = make_quad_whole_solve(grid.shape, problem, mg,
-                                              interpret=interp)
-            else:
-                solve = make_multigrid_poisson(
+            solve, mg = auto_whole_solve(
+                mg, mg_overrides, interp,
+                build=lambda: make_quad_whole_solve(grid.shape, problem, mg,
+                                                    interpret=interp),
+                fallback=lambda: make_multigrid_poisson(
                     problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
                     pallas_interpret=interp, quad_level0=quad_l0,
-                )
+                ))
 
             # Tentative-state boundary converters: the carried u/v are the
             # TENTATIVE (u*, v*) fields; the logical state applies the

@@ -164,19 +164,24 @@ def make_channel_case(
                 whole_step_kernel = make_quad_whole_step_channel(
                     grid.shape, problem, coeffs, mg, nx * ny,
                     inlet_velocity, interpret=interp)
-            if mg.whole_solve:
-                # ONE Pallas call per pressure solve (kernels.whole_solve):
-                # the whole tolerance loop runs in-kernel, every level
-                # VMEM-resident — same (p, cycles, res) contract.
-                from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+            # ONE Pallas call per pressure solve (kernels.whole_solve) —
+            # the measured round-3 DEFAULT where the hierarchy fits in VMEM
+            # (3390 vs 3142 steps/s at 1536x512, BASELINE.md); falls back to
+            # the per-kernel composition when the build rejects or a fusion
+            # knob takes manual control (auto_whole_solve docstring).
+            from cfd_tpu.kernels.whole_solve import (
+                auto_whole_solve,
+                make_quad_whole_solve,
+            )
 
-                solve = make_quad_whole_solve(grid.shape, problem, mg,
-                                              interpret=interp)
-            else:
-                solve = make_multigrid_poisson(
+            solve, mg = auto_whole_solve(
+                mg, mg_overrides, interp,
+                build=lambda: make_quad_whole_solve(grid.shape, problem, mg,
+                                                    interpret=interp),
+                fallback=lambda: make_multigrid_poisson(
                     problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
                     pallas_interpret=interp, quad_level0=quad_l0,
-                )
+                ))
 
             # Tentative-state boundary converters (see the cavity factory)
             def align_state(state):

@@ -396,6 +396,37 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
     return _solve_from_ctx(ctx, cfg, str(shape), interpret)
 
 
+def auto_whole_solve(mg: MGConfig, mg_overrides, interp: bool, build,
+                     fallback):
+    """Round-3 measured default policy for the f32 quad factories: the
+    whole-solve kernel wins wherever the hierarchy fits in VMEM
+    (BASELINE.md round-3 table — step 2048x256: 2715 vs 2248 steps/s,
+    RB 1536x512: 2771 vs 2356, channel 1536x512: 3390 vs 3142), so it is
+    the DEFAULT on the real-TPU path.  Explicitly overriding any fusion
+    knob (whole_solve / whole_step / tail_from) takes manual control;
+    build-time rejections (VMEM cap at e.g. 2048^2 cavity, too-shallow
+    hierarchy, quad-shape mismatch) fall back to the per-kernel path.
+    Interpret mode keeps the per-kernel default (an in-kernel
+    while_loop of V-cycles is pathologically slow to interpret).
+
+    ``build`` / ``fallback`` are thunks returning the solve callable.
+    Returns ``(solve, mg)`` with ``mg.whole_solve`` reflecting the
+    chosen path."""
+    import dataclasses as _dc
+
+    if mg.whole_solve:
+        return build(), mg
+    manual = bool(mg_overrides) and any(
+        k in mg_overrides for k in ("whole_solve", "whole_step", "tail_from"))
+    if interp or manual or mg.whole_step or mg.tail_from is not None:
+        return fallback(), mg
+    try:
+        solve = build()
+    except ValueError:
+        return fallback(), mg
+    return solve, _dc.replace(mg, whole_solve=True)
+
+
 def make_quad_step_whole_solve(grid, coeffs, cfg: MGConfig,
                                interpret: bool = False):
     """The MASKED (backwards-step) whole-solve: the exact quad fine level,

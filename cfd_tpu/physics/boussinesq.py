@@ -250,20 +250,27 @@ def make_rayleigh_benard_case(
                 grid.shape, problem, mg.omega, mg.post_sweeps,
                 coarse_shape, interpret=interp),
         )
-        if mg.whole_solve:
-            # ONE Pallas call per pressure solve (kernels.whole_solve):
-            # pure-Neumann flavor with the per-cycle mean pin in-kernel.
-            from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
+        # ONE Pallas call per pressure solve (kernels.whole_solve):
+        # pure-Neumann flavor with the per-cycle mean pin in-kernel — the
+        # measured round-3 DEFAULT where the hierarchy fits in VMEM (2771
+        # vs 2356 steps/s at 1536x512, BASELINE.md); falls back to the
+        # per-kernel composition when the build rejects or a fusion knob
+        # takes manual control (auto_whole_solve docstring).
+        from cfd_tpu.kernels.whole_solve import (
+            auto_whole_solve,
+            make_quad_whole_solve,
+        )
 
-            poisson = make_quad_whole_solve(grid.shape, problem, mg,
-                                            pin_mean=True,
-                                            n_interior=nx * ny,
-                                            interpret=interp)
-        else:
-            poisson = make_multigrid_poisson(
+        poisson, mg = auto_whole_solve(
+            mg, mg_overrides, interp,
+            build=lambda: make_quad_whole_solve(grid.shape, problem, mg,
+                                                pin_mean=True,
+                                                n_interior=nx * ny,
+                                                interpret=interp),
+            fallback=lambda: make_multigrid_poisson(
                 problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
                 pallas_interpret=interp, quad_level0=quad_l0,
-            )
+            ))
         fused = make_quad_rb_step_kernel(
             grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
             buoyancy=buoy, interpret=interp)

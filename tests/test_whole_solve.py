@@ -171,3 +171,55 @@ def test_whole_solve_rejects_shallow_hierarchy():
         make_quad_whole_solve((n + 2, n + 2), problem,
                               dataclasses.replace(cfg, min_coarse=8),
                               interpret=True)
+
+
+def test_auto_whole_solve_policy():
+    """The round-3 measured-default policy (auto_whole_solve): whole-solve
+    wherever the build succeeds on the real-TPU path, per-kernel fallback
+    for interpret mode / manual fusion knobs / build-time rejections, and
+    the returned MGConfig reflects the chosen path."""
+    from cfd_tpu.kernels.whole_solve import auto_whole_solve
+
+    cfg = M.MGConfig()
+    built = object()
+    fell_back = object()
+    build = lambda: built
+    fallback = lambda: fell_back
+
+    def reject():
+        raise ValueError("mg whole-solve VMEM estimate too large")
+
+    # Real-TPU default: build wins and the config records it.
+    solve, out = auto_whole_solve(cfg, None, False, build, fallback)
+    assert solve is built and out.whole_solve
+
+    # Build-time rejection (VMEM cap) falls back, config unchanged.
+    solve, out = auto_whole_solve(cfg, None, False, reject, fallback)
+    assert solve is fell_back and not out.whole_solve
+
+    # Interpret mode keeps the per-kernel default.
+    solve, out = auto_whole_solve(cfg, None, True, build, fallback)
+    assert solve is fell_back and not out.whole_solve
+
+    # Any explicit fusion-knob override takes manual control.
+    for knob in ({"whole_solve": False}, {"tail_from": 1},
+                 {"whole_step": False}):
+        solve, out = auto_whole_solve(cfg, knob, False, build, fallback)
+        assert solve is fell_back and not out.whole_solve
+    # ... but unrelated overrides don't.
+    solve, out = auto_whole_solve(cfg, {"pre_sweeps": 3}, False, build,
+                                  fallback)
+    assert solve is built and out.whole_solve
+
+    # whole_solve=True forced: always the whole kernel (build errors
+    # propagate — explicit requests fail loudly).
+    solve, out = auto_whole_solve(
+        dataclasses.replace(cfg, whole_solve=True),
+        {"whole_solve": True}, False, build, fallback)
+    assert solve is built and out.whole_solve
+
+    # An active whole_step or tail_from set on the config itself (not via
+    # overrides) also keeps manual control.
+    solve, out = auto_whole_solve(
+        dataclasses.replace(cfg, tail_from=1), None, False, build, fallback)
+    assert solve is fell_back
