@@ -84,9 +84,16 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
                              tile_rows: int = 128, interpret: bool = False,
                              traced_dt: bool = False,
                              emit_courant: bool = False,
+                             emit_guess: bool = False,
                              shard: tuple[int, int] | None = None):
     """(us, vs, p, T) -> (us', vs', T', b, sum_b): the fused tentative-carry
     RB stage (see module docstring).
+
+    ``emit_guess``: the call gains a trailing ``p_prev`` quad input and a
+    ``guess`` = 2 p - p_prev quad output after ``b`` — the extrapolated
+    Poisson warm start fused into the carry kernel, the exact analog of
+    the cavity/channel carry kernels (kernels.quad
+    make_quad_corr_predictor_source).
 
     ``traced_dt``: the call gains a leading (dt_corr, dt_pred) SMEM scalar
     pair. The carry entangles two steps: the corrector AND the T transport
@@ -107,12 +114,14 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
     per-device partials the caller psums/pmaxes)."""
     compute = rb_carry_compute(shape, coeffs, kappa, t_bottom, t_top,
                                buoyancy, traced_dt=traced_dt,
-                               emit_courant=emit_courant)
+                               emit_courant=emit_courant,
+                               emit_guess=emit_guess)
+    nq = 5 if emit_guess else 4
     call, _ = _make_quad_slab_kernel(
-        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        shape, n_qin=nq, n_qout=nq, compute=compute, tile_rows=tile_rows,
         interpret=interpret, halo=8,
         scalar_reduce=("sum", "max", "max") if emit_courant else "sum",
-        vmem_bytes_per_cell=550, vmem_headroom=24e6,
+        vmem_bytes_per_cell=690 if emit_guess else 550, vmem_headroom=24e6,
         shard=None if shard is None else shard[0],
         scalar_params=2 if traced_dt else 0)
     return call
@@ -120,7 +129,8 @@ def make_quad_rb_step_kernel(shape, coeffs, kappa: float,
 
 def rb_carry_compute(shape, coeffs, kappa: float, t_bottom: float = 1.0,
                      t_top: float = 0.0, buoyancy: float = 1.0,
-                     traced_dt: bool = False, emit_courant: bool = False):
+                     traced_dt: bool = False, emit_courant: bool = False,
+                     emit_guess: bool = False):
     """``compute(s, qins, fin, consts, scalars)`` of the fused
     tentative-carry Rayleigh-Benard stage (make_quad_rb_step_kernel) —
     shared by the slab kernel factory and kernels.whole_step."""
@@ -134,7 +144,11 @@ def rb_carry_compute(shape, coeffs, kappa: float, t_bottom: float = 1.0,
     rho_dt_s = coeffs.density / coeffs.dt
 
     def compute(s, qins, fin, consts, scalars=None):
-        us, vs, p, T = qins
+        if emit_guess:
+            us, vs, p, T, p_prev = qins
+        else:
+            us, vs, p, T = qins
+            p_prev = None
         slab, W = us[0].shape
         if traced_dt:
             dt = scalars[0]  # completes step n: corrector + T transport
@@ -200,7 +214,10 @@ def rb_carry_compute(shape, coeffs, kappa: float, t_bottom: float = 1.0,
                     [jnp.abs(a) for a in v2]]
         else:
             sarr = list(b)
-        return [us2, vs2, T2, b], None, sarr
+        outs = [us2, vs2, T2, b]
+        if emit_guess:
+            outs.append([2.0 * p[q] - p_prev[q] for q in range(4)])
+        return outs, None, sarr
 
     return compute
 

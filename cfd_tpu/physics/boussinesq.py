@@ -154,9 +154,16 @@ def make_rayleigh_benard_case(
     step_kernel_mode: str = "auto",  # "auto" | "off" | "interpret"
     layout: str = "auto",  # "auto" | "quad" (f32 kernel path)
     mg_overrides: dict | None = None,
+    extrapolate_warm_start: bool = False,
 ) -> Case:
     """192x64 Ra=1e6 heated-bottom/cooled-top per the reference artifact
-    (.MISSING_LARGE_BLOBS:1); final_time in thermal-diffusion units."""
+    (.MISSING_LARGE_BLOBS:1); final_time in thermal-diffusion units.
+
+    ``extrapolate_warm_start``: warm-start each pressure solve from the
+    extrapolated guess 2 p_n - p_{n-1} instead of plain p_n (the cavity/
+    channel fast-path default, cases/cavity.py). Fixed-dt paths only (the
+    lagged adaptive carry keeps plain p); the sharded RB flavor keeps
+    plain p regardless."""
     ensure_dtype_enabled(dtype)
     from cfd_tpu.params import validate_case_params
 
@@ -273,7 +280,8 @@ def make_rayleigh_benard_case(
             ))
         fused = make_quad_rb_step_kernel(
             grid.shape, coeffs, kappa, params.t_bottom, params.t_top,
-            buoyancy=buoy, interpret=interp)
+            buoyancy=buoy, interpret=interp,
+            emit_guess=extrapolate_warm_start)
         corr = make_quad_rb_corrector(grid.shape, coeffs, interpret=interp)
         n_cells = nx * ny
 
@@ -287,6 +295,11 @@ def make_rayleigh_benard_case(
             return jnp.where(cm, b - sum_b / n_cells, b)
 
         if mg.whole_step:
+            if extrapolate_warm_start:
+                raise ValueError(
+                    "extrapolate_warm_start is not supported with "
+                    "whole_step (the fused time-step kernel warm-starts "
+                    "from plain p)")
             # ONE Pallas call per TIME STEP (kernels.whole_step): the fused
             # RB carry + mean removal + the pure-Neumann pinned solve.
             from cfd_tpu.kernels.whole_step import make_quad_whole_step_rb
@@ -301,6 +314,17 @@ def make_rayleigh_benard_case(
                     us2, vs2, T2, p, iters, res = ws(state.u, state.v,
                                                      state.p, state.T)
                     return State(us2, vs2, p, T2), \
+                        StepDiagnostics(iters, res)
+
+                return step
+        elif extrapolate_warm_start:
+            def custom_step(case: Case):
+                def step(state: State):
+                    us2, vs2, T2, b, guess, sum_b = fused(
+                        state.u, state.v, state.p, state.T, state.p_prev)
+                    b = remove_mean(b, sum_b)
+                    p, iters, res = poisson(guess, b)
+                    return State(us2, vs2, p, T2, state.p), \
                         StepDiagnostics(iters, res)
 
                 return step
@@ -320,12 +344,16 @@ def make_rayleigh_benard_case(
             us, vs = uncorrect_rb_quad(state.u, state.v, state.p,
                                        grid.shape, coeffs)
             t = lambda a: to_quad(a, grid.shape)
+            if extrapolate_warm_start:
+                p_prev = state.p if state.p_prev is None else state.p_prev
+                return State(t(us), t(vs), t(state.p), t(state.T), t(p_prev))
             return State(t(us), t(vs), t(state.p), t(state.T), None)
 
         def unalign_state(state):
             u2, v2 = corr(state.u, state.v, state.p)
             f = lambda a: from_quad(a, grid.shape)
-            return State(f(u2), f(v2), f(state.p), f(state.T), None)
+            return State(f(u2), f(v2), f(state.p), f(state.T),
+                         None if state.p_prev is None else f(state.p_prev))
 
         # Lagged-controller adaptive on the SAME fused RB carry kernel:
         # (dt_corr, dt_pred) traced SMEM pair (the corrector + T transport
@@ -382,14 +410,19 @@ def make_rayleigh_benard_case(
                 us, vs = vel_bc(us, vs)
                 b = poisson_source(us, vs, coeffs, cell, remove_mean=True,
                                    n_cells=nx * ny)
-                p, iters, res = poisson(state.p, b)
+                guess = (2.0 * state.p - state.p_prev
+                         if extrapolate_warm_start and state.p_prev is not None
+                         else state.p)
+                p, iters, res = poisson(guess, b)
                 u2, v2 = pressure_correction(us, vs, p, coeffs, u_valid,
                                              v_valid, u_else=us, v_else=vs)
                 u2, v2 = vel_bc(u2, v2)
                 T2 = advect_diffuse_scalar(T, u2, v2, coeffs, kappa=kappa,
                                            cell_mask=cell)
                 T2 = temp_bc(T2)
-                return State(u2, v2, p, T2), StepDiagnostics(iters, res)
+                p_prev = state.p if extrapolate_warm_start else None
+                return State(u2, v2, p, T2, p_prev), \
+                    StepDiagnostics(iters, res)
 
             return step
 
@@ -404,7 +437,9 @@ def make_rayleigh_benard_case(
         T = jnp.where(cell, (T0 + noise).astype(dtype), z)
         T = temp_bc(T)
         u, v = vel_bc(z, z)
-        st = State(u, v, z, T)
+        # p_prev pre-filled (= p at t=0) so the scan-carry structure stays
+        # static across steps when the extrapolated warm start is on
+        st = State(u, v, z, T, z if extrapolate_warm_start else None)
         return align_state(st) if use_quad else st
 
     def extra_stats(state: State):
@@ -441,6 +476,7 @@ def make_rayleigh_benard_case(
                   kappa=kappa, t_bottom=params.t_bottom,
                   t_top=params.t_top),
         custom_step=custom_step,
+        extrapolate_warm_start=extrapolate_warm_start,
         carry_tentative=use_quad,
         align_state=align_state,
         unalign_state=unalign_state,
