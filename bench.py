@@ -22,10 +22,12 @@ timed steps after a compile+warmup phase, with block_until_ready fencing.
 
 Secondary-case lines use the scheme-agnostic cell-steps/sec metric
 (fluid cells x steps / wall) like benchmarks/case_bench.py; their
-vs_baseline is steps/s relative to the round-2 recorded numbers
-(BASELINE.md): channel 988, step 749, RB 817.
+vs_baseline is steps/s relative to the round-3 recorded steady-state
+numbers (BASELINE.md): channel 3675, step 2845, RB 2761.
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 300),
+BENCH_WARMUP_STEPS (default 400 — past the measured post-compile
+whole-solve transient AND the startup V-cycle transient),
 BENCH_DTYPE (f32|bf16, default f32; bf16 is a validated ~5%-KE-band
 throughput mode, tests/test_bf16.py — not a validation mode),
 BENCH_TOL (default 1e-6 relative),
@@ -44,7 +46,8 @@ import os
 import time
 
 
-def _timed_steps(step_fn, state, steps: int, chunk: int):
+def _timed_steps(step_fn, state, steps: int, chunk: int,
+                 warmup_steps: int | None = None):
     """(state, mean_cycles, wall_s, compile_s, timed_steps) for a case."""
     import jax
 
@@ -60,10 +63,17 @@ def _timed_steps(step_fn, state, steps: int, chunk: int):
     state, iters = multi(state)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     compile_s = time.perf_counter() - t0
-    # second warmup chunk: the startup transient costs extra V-cycles
-    # (measured: the step case runs 4.3 cycles/step over its first ~50
-    # steps vs 2.0 sustained), so one compile chunk is not enough warmup
-    state, iters = multi(state)
+    # Warm past BOTH measured transients before timing: (a) the startup
+    # V-cycle transient (the step case runs ~4.3 cycles/step over its first
+    # ~50 steps vs 2.0 sustained), and (b) the post-compile throughput tail
+    # of the whole-solve default, which runs ~2-3x slow for a few hundred
+    # steps after compiling (tools/wstep_bench_small.py; BASELINE.md round-3
+    # warmup-tail row). Round 3's 100-step warmup under-reported the
+    # secondary cases by 10-16% (VERDICT round-3 weak item 2).
+    if warmup_steps is None:
+        warmup_steps = int(os.environ.get("BENCH_WARMUP_STEPS", 400))
+    for _ in range(max(1, -(-warmup_steps // chunk) - 1)):
+        state, iters = multi(state)
     jax.block_until_ready(jax.tree.leaves(state)[0])
 
     n_chunks = max(1, steps // chunk)
@@ -89,7 +99,10 @@ def _secondary_cases(names: list[str]) -> None:
     # first-order cost (RB measured 1014 steps/s at chunk 10 vs 1735 at 50)
     steps = int(os.environ.get("BENCH_CASE_STEPS", 150))
     chunk = int(os.environ.get("BENCH_CASE_CHUNK", 50))
-    baseline_steps = {"channel": 988.0, "step": 749.0, "rb": 817.0}
+    # round-3 steady-state steps/s (BASELINE.md round-3 table, case_tune
+    # protocol) — refreshed from the round-2 numbers per VERDICT round-3
+    # item 2, so vs_baseline reads "gain since round 3"
+    baseline_steps = {"channel": 3675.0, "step": 2845.0, "rb": 2761.0}
 
     for name in names:
         # configs identical to benchmarks/case_bench.py (the source of the

@@ -32,6 +32,8 @@ RB twins) — BCs, predictor, source, SOR loop and corrector.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -44,6 +46,13 @@ from cfd_tpu.kernels.whole_solve import (
     separable_vcycle_ctx,
     tolerance_loop,
 )
+
+
+# tools/wstep_probe.py round-3 measurement: 512^2 (405,504 padded quad
+# cells) compiles in 6-16 s; 768^2 (802,816) crashes the axon
+# tpu_compile_helper subprocess. The ceiling sits between; enforce the
+# largest measured-good size.
+WHOLE_STEP_MAX_PADDED_CELLS = 405_504
 
 
 def _cell_masks(shape, solid=None):
@@ -82,6 +91,25 @@ def _make_whole_step(ctx, cfg: MGConfig, carry, n_qin: int, n_qout: int,
         raise ValueError(
             f"whole-step VMEM estimate {est / 1e6:.0f} MB too large for "
             f"{what} — use the per-kernel quad path")
+    # Probe-derived toolchain ceiling (tools/wstep_probe.py, round 3): the
+    # fused whole-step program compiles OK through 512^2 but the TPU
+    # compile helper itself crashes (HTTP 500) at >= 768^2 — long before
+    # the VMEM estimate above trips. Fail loudly at build time instead of
+    # handing the user a compiler crash (VERDICT round-3 item 5). Measured
+    # in padded quad plane cells: 512^2 -> 4*264*384 = 405,504 OK;
+    # 768^2 -> 4*392*512 = 802,816 crash. Interpret mode has no toolchain
+    # and no ceiling; CFD_TPU_WHOLE_STEP_NO_CEILING=1 bypasses the check
+    # for re-probing after toolchain updates.
+    padded_cells = 4 * Hq8 * Wqa
+    if (not interpret and padded_cells > WHOLE_STEP_MAX_PADDED_CELLS
+            and not os.environ.get("CFD_TPU_WHOLE_STEP_NO_CEILING")):
+        raise ValueError(
+            f"whole_step is limited to ~512^2 grids on the current TPU "
+            f"toolchain ({padded_cells} padded quad cells > "
+            f"{WHOLE_STEP_MAX_PADDED_CELLS}: the fused program crashes the "
+            f"TPU compile helper at >= 768^2, tools/wstep_probe.py) — use "
+            f"the whole_solve/per-kernel path for {what}, or set "
+            f"CFD_TPU_WHOLE_STEP_NO_CEILING=1 to re-probe")
 
     tol_factor = float(cfg.tol_factor)
     abs_tol = float(cfg.abs_tol)

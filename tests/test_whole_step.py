@@ -120,3 +120,39 @@ def test_whole_step_guard_off_quad_path():
         make_cavity_case(n_interior=32, dtype=jnp.float64,
                          poisson="multigrid",
                          mg_overrides={"whole_step": True})
+
+
+def test_whole_step_size_ceiling_native():
+    """The probe-derived toolchain ceiling (VERDICT round-3 item 5): a
+    native whole-step build past 512^2 must raise at FACTORY time instead
+    of crashing the TPU compile helper (tools/wstep_probe.py measured the
+    axon tpu_compile_helper dying with HTTP 500 at >= 768^2)."""
+    from cfd_tpu.cases.cavity import make_cavity_case
+    from cfd_tpu.kernels.whole_step import (WHOLE_STEP_MAX_PADDED_CELLS,
+                                            make_quad_whole_step_cavity)
+    from cfd_tpu.poisson.multigrid import MGConfig, cavity_problem
+
+    case = make_cavity_case(n_interior=768, dtype=jnp.float32,
+                            poisson="multigrid", layout="quad",
+                            step_kernel_mode="interpret")
+    g = case.grid
+    problem = cavity_problem(g.nx, g.ny, g.dx, g.dy)
+    cfg = MGConfig(tol_factor=1e-6, abs_tol=0.0, post_sweeps=1)
+    with pytest.raises(ValueError, match="compile helper"):
+        make_quad_whole_step_cavity(g.shape, problem, case.coeffs, cfg,
+                                    interpret=False)
+    # interpret mode has no native toolchain and no ceiling
+    make_quad_whole_step_cavity(g.shape, problem, case.coeffs, cfg,
+                                interpret=True)
+    # the measured-good 512^2 size sits exactly at the enforced ceiling
+    case512 = make_cavity_case(n_interior=512, dtype=jnp.float32,
+                               poisson="multigrid", layout="quad",
+                               step_kernel_mode="interpret")
+    g5 = case512.grid
+    from cfd_tpu.kernels.quad import quad_dims
+
+    _, _, hq8, wqa = quad_dims(g5.shape)
+    assert 4 * hq8 * wqa <= WHOLE_STEP_MAX_PADDED_CELLS
+    make_quad_whole_step_cavity(
+        g5.shape, cavity_problem(g5.nx, g5.ny, g5.dx, g5.dy),
+        case512.coeffs, cfg, interpret=False)

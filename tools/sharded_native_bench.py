@@ -1,0 +1,198 @@
+"""Compile + run the SHARDED quad builders natively (interpret=False).
+
+VERDICT round-3 item 1: the sharded quad/Pallas path (parallel.quad_sharded)
+had only ever run in interpret mode on virtual CPU meshes — the traced
+``row_base`` SMEM scalar, the shard=(P, mdy) band bookkeeping and the step
+flavor's dynamic-sliced 2D weight blocks had zero Mosaic-lowering evidence.
+A 1-device mesh on the real chip exercises exactly those kernel variants
+(only the ppermute halo refresh short-circuits, quad_sharded._refresh), so
+this tool is the native proof: it compiles ShardedQuadProjection with
+interpret=False, times it, and (optionally) checks the trajectory against
+the single-device quad path in the same process.
+
+One flavor per invocation (a compile crash must not take the other flavors
+down with it); prints one JSON line.
+
+Usage (on the real chip; run in background with a generous bound):
+  python tools/sharded_native_bench.py --flavor cavity --n 256 --check 3
+  python tools/sharded_native_bench.py --flavor cavity --n 2048
+  python tools/sharded_native_bench.py --flavor step --nx 2048 --ny 256
+  python tools/sharded_native_bench.py --flavor channel --nx 1536 --ny 512
+  python tools/sharded_native_bench.py --flavor rb --nx 1536 --ny 512
+
+Reference anchor: the SOR hot loops this path replaces at scale
+(cavity-01.cpp:609-690, backwards_step-01.cpp:872-939).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def build_case(flavor: str, nx: int, ny: int):
+    import jax.numpy as jnp
+
+    if flavor == "cavity":
+        from cfd_tpu.cases import make_cavity_case
+
+        return make_cavity_case(n_interior=nx, poisson="multigrid",
+                                dtype=jnp.float32, tolerance_factor=1e-6,
+                                layout="quad")
+    if flavor == "channel":
+        from cfd_tpu.cases import make_channel_case
+
+        return make_channel_case(nx=nx, ny=ny, poisson="multigrid",
+                                 tolerance_factor=1e-6, abs_tol=0.0,
+                                 dtype=jnp.float32, layout="quad")
+    if flavor == "step":
+        from cfd_tpu.cases import make_backwards_step_case
+
+        return make_backwards_step_case(nx=nx, ny=ny, poisson="multigrid",
+                                        tolerance_factor=1e-6, abs_tol=0.0,
+                                        dtype=jnp.float32, layout="quad")
+    if flavor == "rb":
+        from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
+
+        return make_rayleigh_benard_case(nx=nx, ny=ny, rayleigh=1e6,
+                                         dtype=jnp.float32, layout="quad")
+    raise ValueError(flavor)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--flavor", default="cavity",
+                    choices=["cavity", "channel", "rb", "step"])
+    ap.add_argument("--n", type=int, default=256,
+                    help="cavity n_interior (square)")
+    ap.add_argument("--nx", type=int, default=None)
+    ap.add_argument("--ny", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--chunk", type=int, default=50)
+    ap.add_argument("--warmup-chunks", type=int, default=2)
+    ap.add_argument("--check", type=int, default=0,
+                    help="also run N single-device steps and compare fields")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="mesh size (1 on the real chip)")
+    ap.add_argument("--single", action="store_true",
+                    help="also time the single-device quad path")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+
+    nx = args.nx if args.nx is not None else args.n
+    ny = args.ny if args.ny is not None else args.n
+    case = build_case(args.flavor, nx, ny)
+    devs = jax.devices()
+    if len(devs) < args.devices:
+        raise SystemExit(f"need {args.devices} devices, have {len(devs)}")
+    mesh = Mesh(np.array(devs[: args.devices]), ("dy",))
+
+    sq = ShardedQuadProjection(case, mesh, interpret=False, tol_factor=1e-6,
+                               mg_overrides={"abs_tol": 0.0})
+    state = sq.initial_state()
+    t0 = time.perf_counter()
+    state, d = sq.run_chunk(state, args.chunk)
+    jax.block_until_ready(state)
+    compile_s = time.perf_counter() - t0
+    for _ in range(args.warmup_chunks - 1):
+        state, d = sq.run_chunk(state, args.chunk)
+    jax.block_until_ready(state)
+
+    n_chunks = max(1, args.steps // args.chunk)
+    iters = []
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, d = sq.run_chunk(state, args.chunk)
+        iters.append(d["poisson_iters"])
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+    steps = n_chunks * args.chunk
+    sps = steps / wall
+    cycles = float(sum(int(c.sum()) for c in iters)) / steps
+    st = sq.logical(state)
+    finite = bool(np.isfinite(np.asarray(st.u)).all()
+                  and np.isfinite(np.asarray(st.p)).all())
+
+    out = {
+        "metric": f"sharded-native {args.flavor} {nx}x{ny} f32 quad "
+                  f"({args.devices}-device mesh, interpret=False)",
+        "steps_per_sec": round(sps, 1),
+        "cycles_per_step": round(cycles, 2),
+        "compile_s": round(compile_s, 1),
+        "finite": finite,
+    }
+
+    if args.single:
+        from cfd_tpu.solver import Simulation, make_step
+
+        sim = Simulation(case, log=lambda *a: None)
+        sstate = sim.initial_state()
+        step_fn = make_step(case)
+
+        @jax.jit
+        def multi(s):
+            def body(c, _):
+                c2, dd = step_fn(c)
+                return c2, dd.poisson_iters
+
+            return jax.lax.scan(body, s, None, length=args.chunk)
+
+        sstate, _ = multi(sstate)
+        jax.block_until_ready(jax.tree.leaves(sstate)[0])
+        for _ in range(args.warmup_chunks - 1):
+            sstate, _ = multi(sstate)
+        jax.block_until_ready(jax.tree.leaves(sstate)[0])
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            sstate, _ = multi(sstate)
+        jax.block_until_ready(jax.tree.leaves(sstate)[0])
+        out["single_steps_per_sec"] = round(steps / (time.perf_counter() - t0), 1)
+        out["ratio_vs_single"] = round(
+            out["steps_per_sec"] / out["single_steps_per_sec"], 3)
+
+    if args.check:
+        from cfd_tpu.solver import Simulation
+
+        sim = Simulation(case, log=lambda *a: None)
+        st1 = sim.initial_state()
+        it1 = []
+        for _ in range(args.check):
+            st1, dd = sim._step(st1)
+            it1.append(int(dd.poisson_iters))
+        ref = sim._logical(st1)
+        s2 = sq.initial_state()
+        it2 = []
+        for _ in range(args.check):
+            s2, dd = sq.step(s2)
+            it2.append(int(dd["poisson_iters"]))
+        got = sq.logical(s2)
+        errs = {}
+        for name in ("u", "v", "p"):
+            a = np.asarray(getattr(ref, name), np.float64)
+            b = np.asarray(getattr(got, name), np.float64)
+            scale = max(1.0, float(np.abs(a).max()))
+            errs[name] = float(np.abs(a - b).max() / scale)
+        out["check_steps"] = args.check
+        out["check_iters"] = [it2, it1]
+        out["check_max_rel_err"] = errs
+        out["check_ok"] = bool(
+            all(abs(a - b) <= 1 for a, b in zip(it2, it1))
+            and all(e < 5e-5 for e in errs.values()))
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
