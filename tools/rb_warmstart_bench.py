@@ -7,7 +7,13 @@ f32 on the TPU, steady-state protocol (warmup chunks before timing, same
 as BASELINE.md round-3 numbers) — to decide the factory default.
 
 Usage: python tools/rb_warmstart_bench.py [steps] [chunk] [warmup_chunks]
-Prints one JSON line per variant.
+Prints one JSON line per variant. The per-chunk mean cycle list
+(``cycles_per_chunk``) makes the steady-state plateau visible — the
+decision reads the TAIL of that list, not the overall mean, so a
+still-decaying transient can't masquerade as the steady state (advisor
+round-3 finding). ``compile_s`` is only meaningful for the FIRST variant
+printed: both run in one process, so the second benefits from XLA
+compilation-cache reuse.
 """
 
 from __future__ import annotations
@@ -53,8 +59,9 @@ def bench(case, steps: int, chunk: int, warmup_chunks: int):
     jax.block_until_ready(jax.tree.leaves(state)[0])
     wall = time.perf_counter() - t0
     sps = n_chunks * chunk / wall
-    mc = float(sum(int(c.sum()) for c in cycles)) / (n_chunks * chunk)
-    return sps, mc, compile_s
+    per_chunk = [float(int(c.sum())) / chunk for c in cycles]
+    mc = sum(per_chunk) / len(per_chunk)
+    return sps, mc, per_chunk, compile_s
 
 
 def main():
@@ -66,18 +73,22 @@ def main():
 
     from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
 
+    first = True
     for extrap in (False, True):
         case = make_rayleigh_benard_case(
             nx=1536, ny=512, rayleigh=1e6, dtype=jnp.float32,
             extrapolate_warm_start=extrap)
-        sps, mc, cs = bench(case, steps, chunk, warmup)
+        sps, mc, per_chunk, cs = bench(case, steps, chunk, warmup)
         print(json.dumps({
             "case": "rayleigh_benard", "grid": "1536x512",
             "extrapolate_warm_start": extrap,
             "steps_per_sec": round(sps, 2),
             "mean_poisson_cycles": round(mc, 3),
+            "cycles_per_chunk": [round(c, 2) for c in per_chunk],
             "compile_s": round(cs, 1),
+            "compile_s_comparable": first,
         }), flush=True)
+        first = False
 
 
 if __name__ == "__main__":

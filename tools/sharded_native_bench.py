@@ -36,26 +36,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def build_case(flavor: str, nx: int, ny: int):
+def build_case(flavor: str, nx: int, ny: int, tol: float = 1e-6):
     import jax.numpy as jnp
 
     if flavor == "cavity":
         from cfd_tpu.cases import make_cavity_case
 
         return make_cavity_case(n_interior=nx, poisson="multigrid",
-                                dtype=jnp.float32, tolerance_factor=1e-6,
+                                dtype=jnp.float32, tolerance_factor=tol,
                                 layout="quad")
     if flavor == "channel":
         from cfd_tpu.cases import make_channel_case
 
         return make_channel_case(nx=nx, ny=ny, poisson="multigrid",
-                                 tolerance_factor=1e-6, abs_tol=0.0,
+                                 tolerance_factor=tol, abs_tol=0.0,
                                  dtype=jnp.float32, layout="quad")
     if flavor == "step":
         from cfd_tpu.cases import make_backwards_step_case
 
         return make_backwards_step_case(nx=nx, ny=ny, poisson="multigrid",
-                                        tolerance_factor=1e-6, abs_tol=0.0,
+                                        tolerance_factor=tol, abs_tol=0.0,
                                         dtype=jnp.float32, layout="quad")
     if flavor == "rb":
         from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
@@ -82,6 +82,8 @@ def main() -> None:
                     help="mesh size (1 on the real chip)")
     ap.add_argument("--single", action="store_true",
                     help="also time the single-device quad path")
+    ap.add_argument("--tol", type=float, default=1e-6,
+                    help="relative Poisson tolerance factor")
     args = ap.parse_args()
 
     import jax
@@ -93,13 +95,14 @@ def main() -> None:
 
     nx = args.nx if args.nx is not None else args.n
     ny = args.ny if args.ny is not None else args.n
-    case = build_case(args.flavor, nx, ny)
+    case = build_case(args.flavor, nx, ny, tol=args.tol)
     devs = jax.devices()
     if len(devs) < args.devices:
         raise SystemExit(f"need {args.devices} devices, have {len(devs)}")
     mesh = Mesh(np.array(devs[: args.devices]), ("dy",))
 
-    sq = ShardedQuadProjection(case, mesh, interpret=False, tol_factor=1e-6,
+    sq = ShardedQuadProjection(case, mesh, interpret=False,
+                               tol_factor=args.tol,
                                mg_overrides={"abs_tol": 0.0})
     state = sq.initial_state()
     t0 = time.perf_counter()
