@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="f64 matches the C++ reference; f32 for speed")
         sp.add_argument("--out", default="vtk_output", help="VTK output directory")
         sp.add_argument("--no-vtk", action="store_true", help="disable VTK export")
+        sp.add_argument("--png", action="store_true",
+                        help="also render PNG contour frames (|V|, vorticity"
+                             "[, T]) at save cadence — the figure surface the"
+                             " reference publishes (README.md:38)")
         sp.add_argument("--adaptive-dt", type=float, default=None, metavar="MAX_CO",
                         help="Courant-limited adaptive time stepping toward "
                              "this max Courant number (the OpenFOAM-workflow "
@@ -184,6 +188,11 @@ def main(argv=None) -> int:
     from cfd_tpu.solver import Simulation
 
     exporter = None if args.no_vtk else exporter_for_case(case, out_dir=args.out)
+    if getattr(args, "png", False):
+        from cfd_tpu.io.png import MultiExporter, png_exporter_for_case
+
+        png = png_exporter_for_case(case, out_dir=args.out)
+        exporter = png if exporter is None else MultiExporter([exporter, png])
     if exporter is not None and not args.sync_io:
         from cfd_tpu.io.async_writer import AsyncExporter
 

@@ -179,3 +179,28 @@ def test_async_exporter_surfaces_worker_errors(tmp_path):
     _t.sleep(0.2)
     with pytest.raises(RuntimeError, match="disk full"):
         exp.close()
+
+
+def test_png_exporter(tmp_path):
+    """PNG contour frames (the reference's published figure surface,
+    README.md:38): one file per save call, masked solids blanked, multi-
+    exporter fan-out keeps the VTK collection contract."""
+    import jax.numpy as jnp
+
+    from cfd_tpu.cases import make_backwards_step_case
+    from cfd_tpu.io.png import MultiExporter, png_exporter_for_case
+    from cfd_tpu.io.vtk import exporter_for_case
+    from cfd_tpu.solver import Simulation
+
+    case = make_backwards_step_case(nx=32, ny=8, dtype=jnp.float32,
+                                    final_time=0.05)
+    png = png_exporter_for_case(case, out_dir=tmp_path)
+    vtk = exporter_for_case(case, out_dir=tmp_path)
+    multi = MultiExporter([vtk, png])
+    sim = Simulation(case, exporter=multi, log=lambda *a: None)
+    st = sim.initial_state()
+    multi(st, 0, 0.0)
+    f = tmp_path / "backwards_step_000000.png"
+    assert f.exists() and f.stat().st_size > 1000
+    assert (tmp_path / "backwards_step_000000.vtk").exists()
+    assert multi.write_collection() is not None
