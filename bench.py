@@ -22,8 +22,9 @@ timed steps after a compile+warmup phase, with block_until_ready fencing.
 
 Secondary-case lines use the scheme-agnostic cell-steps/sec metric
 (fluid cells x steps / wall) like benchmarks/case_bench.py; their
-vs_baseline is steps/s relative to the round-3 recorded steady-state
-numbers (BASELINE.md): channel 3675, step 2845, RB 2761.
+vs_baseline is steps/s relative to the last recorded HONEST steady-state
+numbers (BASELINE.md): channel 1033 (round 4 — round 3's 3675 timed a
+diverged run, see the round-4 false-stall note), step 2845, RB 2761.
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 300),
 BENCH_WARMUP_STEPS (default 400 — past the measured post-compile
@@ -86,6 +87,16 @@ def _timed_steps(step_fn, state, steps: int, chunk: int,
     jax.block_until_ready(jax.tree.leaves(state)[0])
     wall = time.perf_counter() - t0
     mean_cycles = float(sum(int(c.sum()) for c in cycles)) / steps
+    # NaN throughput is not throughput: the round-3 channel capture timed a
+    # diverged run (the false-stall bug, poisson/multigrid.py stall_ratio
+    # note) because nothing here looked at the fields. Scalar-only transfer.
+    import jax.numpy as jnp
+
+    for leaf in jax.tree.leaves(state):
+        if not bool(jnp.isfinite(leaf).all()):
+            raise RuntimeError(
+                "benchmark state is non-finite after the timed steps — "
+                "refusing to record throughput for a diverged run")
     return state, mean_cycles, wall, compile_s, steps
 
 
@@ -99,10 +110,12 @@ def _secondary_cases(names: list[str]) -> None:
     # first-order cost (RB measured 1014 steps/s at chunk 10 vs 1735 at 50)
     steps = int(os.environ.get("BENCH_CASE_STEPS", 150))
     chunk = int(os.environ.get("BENCH_CASE_CHUNK", 50))
-    # round-3 steady-state steps/s (BASELINE.md round-3 table, case_tune
-    # protocol) — refreshed from the round-2 numbers per VERDICT round-3
-    # item 2, so vs_baseline reads "gain since round 3"
-    baseline_steps = {"channel": 3675.0, "step": 2845.0, "rb": 2761.0}
+    # steady-state steps/s reference points so vs_baseline reads "gain
+    # since the last recorded honest number": step/RB from the round-3
+    # table; channel from the ROUND-4 re-measure (1033 at V(1,2)) — the
+    # round-3 "3675" timed a diverged run (the false-stall bug,
+    # BASELINE.md round-4 note) and is not a baseline
+    baseline_steps = {"channel": 1033.0, "step": 2845.0, "rb": 2761.0}
 
     for name in names:
         # configs identical to benchmarks/case_bench.py (the source of the

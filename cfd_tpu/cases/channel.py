@@ -106,13 +106,22 @@ def make_channel_case(
 
         from cfd_tpu.poisson.multigrid import _round_up8_128
 
-        # f32 perf path: V(2,1) measured 2492 vs 2059 steps/s for V(2,2) at
-        # 1536x512 (1.10 vs 2.00 cycles/step — the lighter cycle converges
-        # in fewer cycles here because the warm-started residual sits just
-        # past one contraction). f64 validation keeps the conservative
-        # V(2,2) default, matching the cavity factory's convention.
-        if not (mg_overrides and "post_sweeps" in mg_overrides):
-            mg = _dc.replace(mg, post_sweeps=1)
+        # f32 perf path: V(1,2). The round-3 V(2,1) choice was measured
+        # with the false-stall bug active (its "1.10 cycles/step" was the
+        # solver quitting at res ~7.5e4x tolerance; see the
+        # MGConfig.stall_ratio note) and V(2,1) genuinely cannot contract
+        # an error mode of this problem at 1536x512 (>=0.9/cycle — the
+        # run diverges by step ~200 even with the honest stall exit).
+        # Post-smoothing is what kills that mode: measured first-cycle
+        # contraction on the step-1 source at 1536x512 is V(1,2) 0.035 /
+        # V(2,2) 0.084 / V(2,1) 0.84, so V(1,2) gets V(2,2)-class
+        # convergence at V(2,1)'s 3-pairs-per-cycle cost — and its level-1
+        # block (2*(1+2)+1 = 7 rows) fits the sharded 8-row device halo,
+        # where V(2,2)'s 9 rows would not. f64 validation keeps the
+        # conservative V(2,2) default.
+        if not (mg_overrides and ("post_sweeps" in mg_overrides
+                                  or "pre_sweeps" in mg_overrides)):
+            mg = _dc.replace(mg, pre_sweeps=1, post_sweeps=2)
         problem = channel_problem(nx, ny, grid.dx, grid.dy)
 
         def _map(state, f):

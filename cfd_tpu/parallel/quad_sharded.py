@@ -682,9 +682,18 @@ class ShardedQuadProjection:
       replaces at scale).
     """
 
+    # Largest mesh the 1-D plane-row decomposition is validated/modeled
+    # for: tools/comm_model.py puts the parallel efficiency at ~0.5-0.6 by
+    # 8 chips and ~0.32-0.43 at 16 (replicated coarse tail + halo/ICI
+    # time), and Mosaic's 128-lane column-halo granularity makes a 2-D
+    # split unprofitable at the target sizes (PARITY.md). Past this the
+    # factory refuses loudly instead of silently scaling badly.
+    MAX_VALIDATED_MESH = 16
+
     def __init__(self, case: Case, mesh, interpret: bool = False,
                  axis: str = "dy", tol_factor: float | None = None,
-                 mg_overrides: dict | None = None):
+                 mg_overrides: dict | None = None,
+                 allow_unvalidated_mesh: bool = False):
         from cfd_tpu.poisson.multigrid import (MGConfig, cavity_problem,
                                                channel_problem,
                                                neumann_problem)
@@ -712,6 +721,12 @@ class ShardedQuadProjection:
         self.mesh = mesh
         self.axis = axis
         mdy = mesh.shape[axis]
+        if mdy > self.MAX_VALIDATED_MESH and not allow_unvalidated_mesh:
+            raise ValueError(
+                f"{mdy}-way 1-D plane-row decomposition exceeds the "
+                f"validated/modeled bound ({self.MAX_VALIDATED_MESH} chips: "
+                "~0.32-0.43 modeled efficiency at 16, tools/comm_model.py). "
+                "Pass allow_unvalidated_mesh=True to proceed anyway.")
         self.mdy = mdy
         shape = grid.shape
         self.shape = shape
@@ -720,11 +735,17 @@ class ShardedQuadProjection:
         coeffs = case.coeffs
         info = case.info or {}
 
+        # channel: V(1,2) — V(2,1) cannot contract an error mode of the
+        # 1536x512 channel problem (cases/channel.py sweep note) and
+        # V(2,2)'s level-1 block (9 rows) would blow the 8-row device
+        # halo; V(1,2) fits (7 rows) with V(2,2)-class convergence.
+        # step flavor: V(1,1) — the exact masked smoother's halo budget
+        # (make_sharded_masked_step_solve).
+        pre, post = {"backwards_step": (1, 1), "channel": (1, 2)}.get(
+            flavor, (2, 1))
         mg = MGConfig(tol_factor=tol_factor if tol_factor is not None
-                      else 1e-9, abs_tol=0.0, post_sweeps=1,
-                      # step flavor: V(1,1) — the exact masked smoother's
-                      # halo budget (make_sharded_masked_step_solve)
-                      pre_sweeps=1 if flavor == "backwards_step" else 2)
+                      else 1e-9, abs_tol=0.0,
+                      pre_sweeps=pre, post_sweeps=post)
         if mg_overrides:
             mg = dataclasses.replace(mg, **mg_overrides)
         if (flavor != "backwards_step"

@@ -219,10 +219,12 @@ def test_aligned_fused_channel_step_matches_xla_path():
 
     kw = dict(nx=32, ny=16, dtype=jnp.float32, poisson="multigrid",
               tolerance_factor=1e-5, abs_tol=0.0, final_time=1.0)
-    # the fused perf path defaults to V(2,1); pin the XLA reference to
-    # the same cycle shape so iteration counts compare exactly
+    # the fused channel perf path defaults to V(1,2) (cases/channel.py
+    # sweep note); pin the XLA reference to the same cycle shape so
+    # iteration counts compare exactly
     ref_case = make_channel_case(step_kernel_mode="off",
-                                 mg_overrides={"post_sweeps": 1}, **kw)
+                                 mg_overrides={"pre_sweeps": 1,
+                                               "post_sweeps": 2}, **kw)
     fused_case = make_channel_case(step_kernel_mode="interpret",
                                    layout="aligned", **kw)
     assert fused_case.step_kernels is not None

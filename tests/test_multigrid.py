@@ -193,3 +193,40 @@ def test_backwards_step_case_multigrid_matches_sor_end_to_end():
         s2, _ = sim_mg._step(s2)
     np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s2.u), atol=1e-9)
     np.testing.assert_allclose(np.asarray(s1.v), np.asarray(s2.v), atol=1e-9)
+
+
+@pytest.mark.slow
+def test_stall_exit_survives_midsolve_plateau_channel_1536x512():
+    """Regression: the production channel bench config (1536x512 f32,
+    V(2,1)) contracts the step-1 residual by only ~0.84 between cycles 1
+    and 2 (a transient plateau from the sharp inlet-layer source), then
+    resumes at ~0.3-0.5/cycle down to the f32 floor.  The original
+    stall_ratio=0.7 mistook that plateau for the roundoff floor, exited
+    with res ~7.5e4x tolerance, and the unprojected velocity blew up the
+    run within ~70 steps (NaN).  The 0.9 default must ride through the
+    plateau and reach the floor (res ~7.5e3 here, vs 1.5e6 at the false
+    exit)."""
+    from cfd_tpu.ops.stencil import poisson_source, predictor
+    from cfd_tpu.poisson.multigrid import channel_problem
+    from cfd_tpu.solver import Simulation
+
+    nx, ny = 1536, 512
+    case = make_channel_case(nx=nx, ny=ny, poisson="multigrid",
+                             tolerance_factor=1e-6, abs_tol=0.0,
+                             dtype=jnp.float32, step_kernel_mode="off")
+    g, c = case.grid, case.coeffs
+    sim = Simulation(case, log=quiet)
+    st = sim.initial_state()
+    us, vs = predictor(st.u, st.v, c, jnp.asarray(g.u_valid_mask),
+                       jnp.asarray(g.v_valid_mask))
+    us, vs = case.velocity_bc(us, vs)
+    b = poisson_source(us, vs, c, jnp.asarray(g.cell_mask),
+                       remove_mean=True, n_cells=nx * ny)
+    # V(2,1) — the f32 quad perf configuration where the plateau appears
+    cfg = MGConfig(tol_factor=1e-6, abs_tol=0.0, post_sweeps=1)
+    solve = make_multigrid_poisson(channel_problem(nx, ny, g.dx, g.dy),
+                                   cfg, dtype=jnp.float32)
+    p, iters, res = solve(jnp.zeros_like(b), b)
+    # false exit: iters=2, res=1.5e6; true floor: ~7.5e3 after ~7 cycles
+    assert int(iters) >= 4, int(iters)
+    assert float(res) < 1e5, float(res)

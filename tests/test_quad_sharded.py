@@ -302,3 +302,18 @@ def test_sharded_quad_rb_matches_single_device(nx, ny, mdy, steps):
         b = np.asarray(getattr(got, name))
         np.testing.assert_allclose(b, a, rtol=0, atol=2e-5 * max(
             1.0, float(np.abs(a).max())), err_msg=name)
+
+
+def test_mesh_size_bound_rejects_past_validated(monkeypatch):
+    """VERDICT round-3 item 6b: the factory refuses meshes past the
+    validated/modeled 1-D decomposition bound (tools/comm_model.py) with a
+    loud error instead of silently scaling badly; the escape hatch works."""
+    from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
+
+    case = make_case(64)
+    monkeypatch.setattr(ShardedQuadProjection, "MAX_VALIDATED_MESH", 4)
+    with pytest.raises(ValueError, match="validated/modeled bound"):
+        ShardedQuadProjection(case, cpu_mesh_1d(8), interpret=True)
+    sq = ShardedQuadProjection(case, cpu_mesh_1d(8), interpret=True,
+                               allow_unvalidated_mesh=True)
+    assert sq.mdy == 8

@@ -72,17 +72,18 @@ def main():
         ("V(2,2) mc32", {"post_sweeps": 2, "min_coarse": 32}),
     ]
     if which == "channel":
-        # the channel factory default is V(2,2) (no kernel-path post_sweeps
-        # replacement like cavity's), so sweep explicit values
+        # channel f32 default is V(1,2) (cases/channel.py sweep note:
+        # V(2,1) DIVERGES at 1536x512 — kept here only for the record)
         variants = [
-            ("V(2,2) mc4 [current]", {"post_sweeps": 2}),
-            ("V(2,1) mc4", {"post_sweeps": 1}),
-            ("V(2,1) tail1", {"post_sweeps": 1, "tail_from": 1}),
-            ("V(2,1) tail2", {"post_sweeps": 1, "tail_from": 2}),
-            ("V(2,1) whole", {"post_sweeps": 1, "whole_solve": True}),
-            ("V(2,1) wstep", {"post_sweeps": 1, "whole_step": True}),
+            ("V(1,2) mc4 [current]", {}),
+            ("V(1,2) tail1", {"pre_sweeps": 1, "post_sweeps": 2,
+                              "tail_from": 1}),
+            ("V(1,2) whole", {"pre_sweeps": 1, "post_sweeps": 2,
+                              "whole_solve": True}),
+            ("V(2,2) mc4", {"pre_sweeps": 2, "post_sweeps": 2}),
             ("V(3,3) mc4", {"pre_sweeps": 3, "post_sweeps": 3}),
-            ("V(2,1) mc16", {"post_sweeps": 1, "min_coarse": 16}),
+            ("V(1,2) mc16", {"pre_sweeps": 1, "post_sweeps": 2,
+                             "min_coarse": 16}),
         ]
     if which in ("cavity", "cavity4096"):
         variants = [

@@ -36,7 +36,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
-def build_case(flavor: str, nx: int, ny: int, tol: float = 1e-6):
+def build_case(flavor: str, nx: int, ny: int, tol: float = 1e-6,
+               mg_overrides: dict | None = None):
     import jax.numpy as jnp
 
     if flavor == "cavity":
@@ -44,24 +45,32 @@ def build_case(flavor: str, nx: int, ny: int, tol: float = 1e-6):
 
         return make_cavity_case(n_interior=nx, poisson="multigrid",
                                 dtype=jnp.float32, tolerance_factor=tol,
-                                layout="quad")
+                                layout="quad", mg_overrides=mg_overrides)
     if flavor == "channel":
         from cfd_tpu.cases import make_channel_case
 
         return make_channel_case(nx=nx, ny=ny, poisson="multigrid",
                                  tolerance_factor=tol, abs_tol=0.0,
-                                 dtype=jnp.float32, layout="quad")
+                                 dtype=jnp.float32, layout="quad",
+                                 mg_overrides=mg_overrides)
     if flavor == "step":
         from cfd_tpu.cases import make_backwards_step_case
 
+        # V(1,1): the sharded masked solve runs V(1,1) only (the exact
+        # masked smoother's halo budget, quad_sharded) — the single-device
+        # case must match or the --check compares DIFFERENT solvers
         return make_backwards_step_case(nx=nx, ny=ny, poisson="multigrid",
                                         tolerance_factor=tol, abs_tol=0.0,
-                                        dtype=jnp.float32, layout="quad")
+                                        dtype=jnp.float32, layout="quad",
+                                        mg_overrides={"pre_sweeps": 1,
+                                                      "post_sweeps": 1,
+                                                      **(mg_overrides or {})})
     if flavor == "rb":
         from cfd_tpu.physics.boussinesq import make_rayleigh_benard_case
 
         return make_rayleigh_benard_case(nx=nx, ny=ny, rayleigh=1e6,
-                                         dtype=jnp.float32, layout="quad")
+                                         dtype=jnp.float32, layout="quad",
+                                         mg_overrides=mg_overrides)
     raise ValueError(flavor)
 
 
@@ -166,21 +175,34 @@ def main() -> None:
             out["steps_per_sec"] / out["single_steps_per_sec"], 3)
 
     if args.check:
-        from cfd_tpu.solver import Simulation
+        from cfd_tpu.solver import Simulation, make_step
 
-        sim = Simulation(case, log=lambda *a: None)
+        # PINNED solves on both sides: a tolerance/stall-terminated f32
+        # solve ends on the residual floor, where the exit cycle of two
+        # DIFFERENTLY-COMPILED programs can differ by an ulp-driven stall
+        # flip — after a few steps the trajectories then differ by up to
+        # the (unreached) tolerance, which is NOT a kernel bug. Fixing
+        # max_cycles (tol ~ 0, stall off) makes every solve run the same
+        # cycle count so the fields must agree to f32 roundoff.
+        pin = {"max_cycles": 3, "tol_factor": 1e-30, "stall_ratio": 1e30}
+        case_chk = build_case(args.flavor, nx, ny, tol=args.tol,
+                              mg_overrides=dict(pin))
+        sq_chk = ShardedQuadProjection(case_chk, mesh, interpret=False,
+                                       tol_factor=args.tol,
+                                       mg_overrides={"abs_tol": 0.0, **pin})
+        sim = Simulation(case_chk, log=lambda *a: None)
         st1 = sim.initial_state()
         it1 = []
         for _ in range(args.check):
             st1, dd = sim._step(st1)
             it1.append(int(dd.poisson_iters))
         ref = sim._logical(st1)
-        s2 = sq.initial_state()
+        s2 = sq_chk.initial_state()
         it2 = []
         for _ in range(args.check):
-            s2, dd = sq.step(s2)
+            s2, dd = sq_chk.step(s2)
             it2.append(int(dd["poisson_iters"]))
-        got = sq.logical(s2)
+        got = sq_chk.logical(s2)
         errs = {}
         for name in ("u", "v", "p"):
             a = np.asarray(getattr(ref, name), np.float64)
@@ -191,8 +213,7 @@ def main() -> None:
         out["check_iters"] = [it2, it1]
         out["check_max_rel_err"] = errs
         out["check_ok"] = bool(
-            all(abs(a - b) <= 1 for a, b in zip(it2, it1))
-            and all(e < 5e-5 for e in errs.values()))
+            it2 == it1 and all(e < 5e-5 for e in errs.values()))
 
     print(json.dumps(out), flush=True)
 
