@@ -159,9 +159,16 @@ def make_backwards_step_case(
             )
             from cfd_tpu.state import State
 
-            # V(2,1) like the cavity/channel f32 paths unless overridden
-            if not (mg_overrides and "post_sweeps" in mg_overrides):
-                mg = _dc.replace(mg, post_sweeps=1)
+            # V(1,2) unless overridden: with HONEST stall exits
+            # (MGConfig.stall_ratio note) the masked defect correction
+            # leaves a barely-contracting mode that post-smoothing handles
+            # best — measured at 2048x256 on the chip: V(1,2) 628 steps/s
+            # at 5.0 cycles/step vs V(2,2) 549/7.5 and V(2,1) 133/7.0
+            # (round 3's "2845 at 2.0 cycles/step" V(2,1) pick was the
+            # 0.7-stall quitting at res ~1e2 every step)
+            if not (mg_overrides and ("post_sweeps" in mg_overrides
+                                      or "pre_sweeps" in mg_overrides)):
+                mg = _dc.replace(mg, pre_sweeps=1, post_sweeps=2)
             step_i_, inlet_j_ = rect
             corr = make_quad_step_corrector(
                 grid.shape, coeffs, step_i_, inlet_j_, inlet_velocity,

@@ -163,7 +163,11 @@ def make_rayleigh_benard_case(
     extrapolated guess 2 p_n - p_{n-1} instead of plain p_n (the cavity/
     channel fast-path default, cases/cavity.py). Fixed-dt paths only (the
     lagged adaptive carry keeps plain p); the sharded RB flavor keeps
-    plain p regardless."""
+    plain p regardless. DECIDED at production size (the measurement the
+    round-3 commit deferred): 1536x512 Ra=1e6 on the chip, steady-state
+    protocol — extrapolated 3259.5 vs plain 3232.9 steps/s at an
+    identical 2.06 cycles/step (tools/rb_warmstart_bench.py, round 4).
+    A wash: the default stays False (simpler carry, no p_prev state)."""
     ensure_dtype_enabled(dtype)
     from cfd_tpu.params import validate_case_params
 
