@@ -23,9 +23,9 @@ timed steps after a compile+warmup phase, with block_until_ready fencing.
 Secondary-case lines use the scheme-agnostic cell-steps/sec metric
 (fluid cells x steps / wall) like benchmarks/case_bench.py; their
 vs_baseline is steps/s relative to the last recorded HONEST steady-state
-numbers (BASELINE.md): channel 1033 and step 628 (round-4 re-measures —
-round 3's 3675/2845 timed unconverged false-stall runs, see the round-4
-note), RB 2761 (its round-3 number stands).
+numbers (BASELINE.md): channel 2562 and step 1830 (round-4 quiet-machine
+re-measures — round 3's 3675/2845 timed unconverged false-stall runs,
+see the round-4 note), RB 2761 (its round-3 number stands).
 
 Env knobs: BENCH_N (default 2048), BENCH_STEPS (default 300),
 BENCH_WARMUP_STEPS (default 400 — past the measured post-compile
@@ -116,7 +116,7 @@ def _secondary_cases(names: list[str]) -> None:
     # table; channel from the ROUND-4 re-measure (1033 at V(1,2)) — the
     # round-3 "3675" timed a diverged run (the false-stall bug,
     # BASELINE.md round-4 note) and is not a baseline
-    baseline_steps = {"channel": 1033.0, "step": 628.0, "rb": 2761.0}
+    baseline_steps = {"channel": 2562.0, "step": 1830.0, "rb": 2761.0}
 
     for name in names:
         # configs identical to benchmarks/case_bench.py (the source of the
