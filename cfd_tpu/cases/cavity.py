@@ -79,9 +79,12 @@ def make_cavity_case(
         mg = MGConfig(tol_factor=tolerance_factor, abs_tol=0.0)
         if mg_overrides:
             mg = _dc.replace(mg, **mg_overrides)
+        # provisional XLA solver (coarse_dtype is a kernel-path knob: the
+        # aligned/quad builds below rebuild with it; staying on this path
+        # with the knob set raises after the path decision)
         solve = make_multigrid_poisson(
             cavity_problem(n_interior, n_interior, grid.dx, grid.dy),
-            mg,
+            _dc.replace(mg, coarse_dtype=None),
             dtype=dtype,
         )
         poisson_cap = mg.max_cycles
@@ -349,6 +352,13 @@ def make_cavity_case(
         # quad path
         raise ValueError("whole_solve/whole_step require the f32 quad "
                          "multigrid kernel path")
+    if (poisson == "multigrid" and mg.coarse_dtype is not None
+            and step_kernels is None):
+        # the provisional XLA solver above was built WITHOUT the knob —
+        # it must not be silently ignored off the kernel path
+        raise ValueError("coarse_dtype requires the f32 multigrid kernel "
+                         "path (dtype=float32, TPU platform or "
+                         "step_kernel_mode='interpret')")
     return Case(
         poisson_max_iters=poisson_cap,
         step_kernels=step_kernels,

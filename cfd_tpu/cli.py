@@ -150,7 +150,10 @@ def make_case_from_args(args):
             elif v.lower() in ("none", ""):
                 ov[k] = None
             else:
-                ov[k] = float(v) if any(c in v for c in ".e") else int(v)
+                try:
+                    ov[k] = float(v) if any(c in v for c in ".e") else int(v)
+                except ValueError:
+                    ov[k] = v  # string-valued field (e.g. coarse_dtype)
         kw["mg_overrides"] = ov
 
     if args.case == "cavity":

@@ -40,7 +40,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                   interpret: bool = False, with_residual: bool = False,
                   with_residual_field: bool = False,
                   aligned_io: bool = False, ny: int | None = None,
-                  nx: int | None = None):
+                  nx: int | None = None, dtype=jnp.float32):
     """Build pairs(p, b) -> p after ``n_pairs`` red+black sweeps.
 
     Args:
@@ -57,16 +57,27 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         logical padded array — skips the per-call jnp.pad / slice (a
         measured ~0.2 ms/step of pure layout copies at 2048^2 when the
         whole flow state is carried aligned).
+      dtype: HBM/VMEM storage dtype of p, b (and the residual field). The
+        sweep ARITHMETIC always runs float32 — a 2-byte dtype (bfloat16,
+        the mixed-precision coarse hierarchy of MGConfig.coarse_dtype)
+        halves the kernel's HBM traffic and is converted to f32 after the
+        slab DMA / back to storage before the write-out. Storage rounding
+        between kernels only perturbs the multigrid CORRECTION path (the
+        caller keeps the finest level f32), so it shifts the contraction
+        rate, not the convergence floor. 2-byte tiles are (16, 128): all
+        sublane offsets/tiles round to 16 instead of 8.
     """
     H, Wp = shape
     # explicit interior dims support ALIGNED shapes whose trailing rows/cols
     # are dead zeros beyond the logical (ny+2, nx+2) grid
     ny = H - 2 if ny is None else ny
     nx = Wp - 2 if nx is None else nx
-    # Mosaic alignment: dynamic row offsets/slices need sublane (8) multiples,
-    # the lane dimension needs 128 multiples — pad both; padding rows/cols
-    # sit beyond the ghost ring and are masked out of every update.
-    H8 = _round_up(H, 8)
+    # Mosaic alignment: dynamic row offsets/slices need sublane multiples
+    # (8 for 4-byte, 16 for 2-byte dtypes), the lane dimension needs 128
+    # multiples — pad both; padding rows/cols sit beyond the ghost ring and
+    # are masked out of every update.
+    g = 16 if np.dtype(dtype).itemsize == 2 else 8
+    H8 = _round_up(H, g)
     W = _round_up(Wp, 128)
     # Each half-sweep consumes one slab row per side; the fused residual
     # additionally reads the +-1 neighbors of a tile's own rows, so it needs
@@ -79,14 +90,14 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
     # neighbor requirement as the fused max-residual.
     assert not (with_residual and with_residual_field)
     any_res = with_residual or with_residual_field
-    halo = _round_up(2 * n_pairs + (1 if any_res else 0), 8)
+    halo = _round_up(2 * n_pairs + (1 if any_res else 0), g)
     assert not any_res or 2 * n_pairs < halo
     # scoped-VMEM budget (16 MB) covers slabs + live temporaries: ~48 bytes
     # per slab cell measured for the smoother body — shrink tiles on wide
     # grids (4096^2+) instead of OOMing at compile time
     slab_cap = int(15.5e6 // (48 * W))
-    t_cap = max(8, ((slab_cap - 2 * halo) // 8) * 8)
-    T = min(_round_up(tile_rows, 8), t_cap, H8)
+    t_cap = max(g, ((slab_cap - 2 * halo) // g) * g)
+    T = min(_round_up(tile_rows, g), t_cap, H8)
     if T + 2 * halo >= H8:
         T = H8  # small level: one whole-array tile
     slab = min(T + 2 * halo, H8)
@@ -135,8 +146,8 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         # its predecessor (identical recomputed rows). All offsets are
         # multiples of 8 (T and H8 are).
         def coords(t):
-            r0 = pl.multiple_of(jnp.minimum(t * T, H8 - T).astype(jnp.int32), 8)
-            s = pl.multiple_of(jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32), 8)
+            r0 = pl.multiple_of(jnp.minimum(t * T, H8 - T).astype(jnp.int32), g)
+            s = pl.multiple_of(jnp.clip(r0 - halo, 0, H8 - slab).astype(jnp.int32), g)
             return r0, s
 
         r0, s = coords(i)
@@ -185,7 +196,8 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             # masked _inline_masks convention (poisson.multigrid)
             interior = interior & (denom > 0)
         inv = jnp.where(interior, 1.0 / jnp.where(denom > 0, denom, 1.0), 0.0)
-        b = b_s[slot]
+        # storage may be 2-byte (see ``dtype``); ALL sweep arithmetic is f32
+        b = b_s[slot].astype(jnp.float32)
 
         def half(p, mask):
             pE = jnp.roll(p, -1, axis=1)
@@ -196,7 +208,7 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             upd = p + omega * (gs - p)
             return jnp.where(mask, upd, p)
 
-        p = p_s[slot]
+        p = p_s[slot].astype(jnp.float32)
         # The valid band shrinks by one slab row per half-sweep — except
         # where the slab reaches a physical domain edge: ghost/padding rows
         # are never updated, so the dependency chain terminates there.
@@ -238,9 +250,11 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
                 def _():
                     res_ref[0, 0] = jnp.maximum(res_ref[0, 0], tile_max)
             else:
-                r_s[slot] = jnp.where(interior, b - ap, jnp.zeros_like(b))
-        p_s[slot] = p  # write back into the slab scratch; DMA a ref slice out
-        off = pl.multiple_of((r0 - s).astype(jnp.int32), 8)
+                r_s[slot] = jnp.where(interior, b - ap,
+                                      jnp.zeros_like(b)).astype(dtype)
+        p_s[slot] = p.astype(dtype)  # write back into the slab scratch;
+        # DMA a ref slice out
+        off = pl.multiple_of((r0 - s).astype(jnp.int32), g)
         out = pltpu.make_async_copy(p_s.at[slot, pl.ds(off, T), :],
                                     out_hbm.at[pl.ds(r0, T), :], sems.at[slot, 2])
         out.start()
@@ -252,11 +266,11 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
             out_r.wait()
         out.wait()
 
-    out_shape = jax.ShapeDtypeStruct((H8, W), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((H8, W), dtype)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     scratch = [
-        pltpu.VMEM((2, slab, W), jnp.float32),
-        pltpu.VMEM((2, slab, W), jnp.float32),
+        pltpu.VMEM((2, slab, W), dtype),
+        pltpu.VMEM((2, slab, W), dtype),
     ]
     n_sems = 3
     if with_residual:
@@ -264,9 +278,9 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         out_specs = (out_specs,
                      pl.BlockSpec(memory_space=pltpu.SMEM))
     elif with_residual_field:
-        out_shape = (out_shape, jax.ShapeDtypeStruct((H8, W), jnp.float32))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((H8, W), dtype))
         out_specs = (out_specs, pl.BlockSpec(memory_space=pl.ANY))
-        scratch.append(pltpu.VMEM((2, slab, W), jnp.float32))
+        scratch.append(pltpu.VMEM((2, slab, W), dtype))
         n_sems = 4
     fn = pl.pallas_call(
         kernel,
@@ -291,8 +305,8 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
         if aligned_io:
             p8, b8 = p, b
         else:
-            p8 = jnp.pad(p.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
-            b8 = jnp.pad(b.astype(jnp.float32), ((0, H8 - H), (0, W - Wp)))
+            p8 = jnp.pad(p.astype(dtype), ((0, H8 - H), (0, W - Wp)))
+            b8 = jnp.pad(b.astype(dtype), ((0, H8 - H), (0, W - Wp)))
         if with_residual:
             out, res = fn(p8, b8, wE_v, wW_v, wN_v, wS_v)
             return (out, res[0, 0]) if aligned_io else (out[:H, :Wp], res[0, 0])
@@ -308,34 +322,39 @@ def make_rb_pairs(shape: tuple[int, int], wE: np.ndarray, wW: np.ndarray,
 def rb_pairs_for_level(level, omega: float, n_pairs: int, interpret: bool = False,
                        with_residual: bool = False,
                        with_residual_field: bool = False,
-                       aligned_io: bool = False, tile_rows: int = 128):
+                       aligned_io: bool = False, tile_rows: int = 128,
+                       dtype=jnp.float32):
     """Adapter from a multigrid ``_Level`` (separable) to the kernel.
 
     tile_rows=128 halves the overlapping-slab redundancy vs 64 (halo 8 rows
     per side) while staying within the 16 MB scoped-VMEM budget for the
-    2-in/2-out residual-field variant (4 double-buffered 144-row slabs)."""
+    2-in/2-out residual-field variant (4 double-buffered 144-row slabs).
+
+    ``dtype``: storage dtype of the level's arrays (bfloat16 for the
+    mixed-precision coarse hierarchy); weights are read back to f64 numpy
+    for the kernel's f32 VMEM constants regardless."""
     if not level.separable:
         # full-weight (masked) mode: the aligned level carries whole 2D
         # coupling arrays
         return make_rb_pairs(
             (level.shape[0], level.shape[1]),
-            np.asarray(level.wE), np.asarray(level.wW),
-            np.asarray(level.wN), np.asarray(level.wS),
+            np.asarray(level.wE, np.float64), np.asarray(level.wW, np.float64),
+            np.asarray(level.wN, np.float64), np.asarray(level.wS, np.float64),
             level.idx2, level.idy2, omega, n_pairs, tile_rows=tile_rows,
             interpret=interpret, with_residual=with_residual,
             with_residual_field=with_residual_field, aligned_io=aligned_io,
             ny=level.ny if level.ny >= 0 else None,
-            nx=level.nx if level.nx >= 0 else None)
+            nx=level.nx if level.nx >= 0 else None, dtype=dtype)
     H, W = level.shape
     return make_rb_pairs(
         (H, W),
-        np.asarray(level.wE).reshape(W),
-        np.asarray(level.wW).reshape(W),
-        np.asarray(level.wN).reshape(H),
-        np.asarray(level.wS).reshape(H),
+        np.asarray(level.wE, np.float64).reshape(W),
+        np.asarray(level.wW, np.float64).reshape(W),
+        np.asarray(level.wN, np.float64).reshape(H),
+        np.asarray(level.wS, np.float64).reshape(H),
         level.idx2, level.idy2, omega, n_pairs, tile_rows=tile_rows,
         interpret=interpret,
         with_residual=with_residual, with_residual_field=with_residual_field,
         aligned_io=aligned_io,
         ny=level.ny if level.ny >= 0 else None,
-        nx=level.nx if level.nx >= 0 else None)
+        nx=level.nx if level.nx >= 0 else None, dtype=dtype)

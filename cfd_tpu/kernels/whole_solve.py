@@ -168,6 +168,10 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
     ``make_vcycle(getc, b) -> vcycle(p4_list) -> (p4_list, res)`` — the
     in-kernel body (``getc(i)`` loads consts[i]; pin_mean's per-cycle
     interior mean shift is folded in after the fused residual)."""
+    if cfg.coarse_dtype is not None:
+        raise ValueError("coarse_dtype is a per-kernel-path knob — the "
+                         "whole-solve hierarchy is already VMEM-resident "
+                         "(unset whole_solve/whole_step to use it)")
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
@@ -260,6 +264,10 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
     (/root/reference/backwards_step-01.cpp:685-740 ghosts on the fine
     level, weighted approximation below). Same contract as
     separable_vcycle_ctx."""
+    if cfg.coarse_dtype is not None:
+        raise ValueError("coarse_dtype is a per-kernel-path knob — the "
+                         "whole-solve hierarchy is already VMEM-resident "
+                         "(unset whole_solve/whole_step to use it)")
     from cfd_tpu.kernels.step_quad import (
         _exact_residual_quad,
         _smooth_stage_quad,
@@ -417,7 +425,8 @@ def auto_whole_solve(mg: MGConfig, mg_overrides, interp: bool, build,
     if mg.whole_solve:
         return build(), mg
     manual = bool(mg_overrides) and any(
-        k in mg_overrides for k in ("whole_solve", "whole_step", "tail_from"))
+        k in mg_overrides
+        for k in ("whole_solve", "whole_step", "tail_from", "coarse_dtype"))
     if interp or manual or mg.whole_step or mg.tail_from is not None:
         return fallback(), mg
     try:

@@ -748,6 +748,11 @@ class ShardedQuadProjection:
                       pre_sweeps=pre, post_sweeps=post)
         if mg_overrides:
             mg = dataclasses.replace(mg, **mg_overrides)
+        if mg.coarse_dtype is not None:
+            raise ValueError(
+                "coarse_dtype (mixed-precision coarse hierarchy) is a "
+                "single-device per-kernel-path knob — the sharded builders "
+                "keep their own f32 level-1 block + replicated tail")
         if (flavor != "backwards_step"
                 and 2 * (mg.pre_sweeps + mg.post_sweeps) + 1 > DEV_HALO):
             raise ValueError(

@@ -194,8 +194,12 @@ def make_rayleigh_benard_case(
     if mg_overrides:
         mg = dataclasses.replace(mg, **mg_overrides)
     problem = neumann_problem(nx, ny, grid.dx, grid.dy)
-    poisson = make_multigrid_poisson(problem, mg, dtype=dtype,
-                                     n_interior=nx * ny)
+    # provisional XLA solver (coarse_dtype is a kernel-path knob: the quad
+    # build below rebuilds with it; staying on this path with the knob set
+    # raises after the path decision)
+    poisson = make_multigrid_poisson(
+        problem, dataclasses.replace(mg, coarse_dtype=None), dtype=dtype,
+        n_interior=nx * ny)
     vel_bc = box_noslip_bc(grid)
     temp_bc = temperature_bc(grid, params.t_bottom, params.t_top)
     cell = jnp.asarray(grid.cell_mask)
@@ -243,6 +247,12 @@ def make_rayleigh_benard_case(
         # quad path
         raise ValueError("whole_solve/whole_step require the f32 quad "
                          "multigrid kernel path")
+    if mg.coarse_dtype is not None and not use_quad:
+        # the provisional XLA solver above was built WITHOUT the knob —
+        # it must not be silently ignored off the kernel path
+        raise ValueError("coarse_dtype requires the f32 quad multigrid "
+                         "kernel path (dtype=float32, TPU platform or "
+                         "step_kernel_mode='interpret')")
 
     if use_quad:
         from cfd_tpu.kernels.rb_quad import (

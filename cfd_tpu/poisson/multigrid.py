@@ -134,10 +134,12 @@ class _Level:
     nx: int = -1
 
 
-def _round_up8_128(shape: tuple[int, int]) -> tuple[int, int]:
-    """Mosaic-aligned dims: sublane multiple 8, lane multiple 128 (f32)."""
+def _round_up8_128(shape: tuple[int, int], dtype=None) -> tuple[int, int]:
+    """Mosaic-aligned dims: sublane multiple 8 (f32) or 16 (2-byte dtypes
+    — bf16 native tiles are (16, 128)), lane multiple 128."""
     H, W = shape
-    return (-(-H // 8) * 8, -(-W // 128) * 128)
+    g = 16 if dtype is not None and np.dtype(dtype).itemsize == 2 else 8
+    return (-(-H // g) * g, -(-W // 128) * 128)
 
 
 def _is_separable(p: PoissonProblem) -> bool:
@@ -168,7 +170,7 @@ def _build_level(p: PoissonProblem, dtype, aligned: bool = False,
         if not _is_separable(p):
             if not allow_full:
                 raise ValueError("aligned levels require separable weights")
-            Ha, Wa = _round_up8_128((H, W))
+            Ha, Wa = _round_up8_128((H, W), dtype)
             pad = lambda w: np.pad(w, ((0, Ha - H), (0, Wa - W)))
             return _Level(
                 wE=jnp.asarray(pad(p.wE), dtype),
@@ -178,7 +180,7 @@ def _build_level(p: PoissonProblem, dtype, aligned: bool = False,
                 idx2=idx2, idy2=idy2, shape=(Ha, Wa), separable=False,
                 ny=p.ny, nx=p.nx,
             )
-        H, W = _round_up8_128((H, W))
+        H, W = _round_up8_128((H, W), dtype)
     if _is_separable(p):
         wE = np.zeros((1, W))
         wE[0, 1 : p.nx + 1] = p.wE[1, 1 : p.nx + 1]
@@ -389,6 +391,17 @@ class MGConfig:
     # solve in a single kernel — 1 launch/step. Supersedes whole_solve.
     # Same VMEM/quad requirements; f32 quad paths only.
     whole_step: bool = False
+    # Mixed-precision V-cycle: store the COARSE hierarchy (the restricted
+    # residual, every level below the finest, and the prolonged correction)
+    # in this dtype ("bfloat16") while the finest level, the outer residual
+    # and the tolerance check stay float32 — the correction path tolerates
+    # bf16's 8-bit mantissa because each cycle recomputes the true f32
+    # residual (iterative-refinement structure: reduced precision perturbs
+    # the CONTRACTION RATE, not the convergence floor). Halves the coarse
+    # levels' HBM/VMEM bytes. Per-kernel aligned/quad f32 Pallas paths
+    # only; incompatible with tail_from/whole_solve/whole_step fusion and
+    # the masked/sharded builders (loud errors). None = full precision.
+    coarse_dtype: str | None = None
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:
@@ -504,6 +517,26 @@ def make_multigrid_poisson(
     # its residual is NOT shift-invariant — but it never uses pin_mean.)
     ones_int = _interior_mask(problem.nx, problem.ny).astype(np.float64)
     pure_neumann = float(np.abs(_apply_np(problem, ones_int)).max()) == 0.0
+    # Mixed-precision coarse hierarchy (MGConfig.coarse_dtype): the
+    # correction path (rc, every coarse level, ec) stored reduced-precision
+    # while level 0 and the tolerance residual stay f32 — see the MGConfig
+    # field docstring for why this cannot move the convergence floor.
+    coarse_dt = None
+    if cfg.coarse_dtype is not None:
+        if cfg.coarse_dtype not in ("bfloat16", "bf16"):
+            raise ValueError(f"unsupported coarse_dtype {cfg.coarse_dtype!r}"
+                             " (only 'bfloat16')")
+        if np.dtype(dtype) != np.float32:
+            raise ValueError("coarse_dtype requires a float32 solve (f64 is"
+                             " the validation path and stays full precision)")
+        if not aligned_io:
+            raise ValueError("coarse_dtype requires the aligned/quad f32 "
+                             "Pallas path (aligned_io=True)")
+        if cfg.tail_from is not None:
+            raise ValueError("coarse_dtype is incompatible with the fused "
+                             "coarse tail (tail_from) — the tail keeps its "
+                             "own in-VMEM f32 hierarchy")
+        coarse_dt = jnp.bfloat16
     if aligned_io:
         if (not use_pallas or exact_level0 is not None
                 or (cfg.pin_mean and not pure_neumann)):
@@ -512,11 +545,13 @@ def make_multigrid_poisson(
                              " problems)")
         # rebuild EVERY level aligned: all transfers and smoothers then run
         # on aligned arrays with no pad/slice layout copies anywhere in the
-        # V-cycle (the small-level size increase is negligible)
+        # V-cycle (the small-level size increase is negligible). Coarse
+        # levels rebuild in coarse_dt when set (16-row sublane alignment).
         probs = [problem]
         while len(probs) < len(levels):
             probs.append(coarsen_problem(probs[-1]))
-        levels = [_build_level(p, dtype, aligned=True) for p in probs]
+        levels = [_build_level(p, dtype if k == 0 else (coarse_dt or dtype),
+                               aligned=True) for k, p in enumerate(probs)]
         bot = levels[-1]
         bot_ny, bot_nx = bot.ny, bot.nx
     if quad_level0 is not None and not aligned_io:
@@ -540,7 +575,9 @@ def make_multigrid_poisson(
             pallas_pairs[k] = {
                 n: rb_pairs_for_level(lv, cfg.omega, n,
                                       interpret=pallas_interpret,
-                                      aligned_io=aligned_io)
+                                      aligned_io=aligned_io,
+                                      dtype=(coarse_dt or jnp.float32)
+                                      if k > 0 else jnp.float32)
                 for n in {cfg.pre_sweeps, cfg.post_sweeps}
             }
         if exact_level0 is None and quad_level0 is None and (
@@ -567,7 +604,7 @@ def make_multigrid_poisson(
             pallas_pre_field[k] = rb_pairs_for_level(
                 levels[k], cfg.omega, cfg.pre_sweeps,
                 with_residual_field=True, interpret=pallas_interpret,
-                aligned_io=aligned_io)
+                aligned_io=aligned_io, dtype=coarse_dt or jnp.float32)
     # fused coarse tail: ONE kernel for every level >= tail_from (launch/
     # glue-bound region; see kernels.mg_tail). Same math as the recursion
     # it replaces up to f32 contraction order in the transfer matmuls.
@@ -616,7 +653,17 @@ def make_multigrid_poisson(
         if k == 0 and quad_level0 is not None:
             pre_quad, post_quad = quad_level0
             p, rc = pre_quad(p, b)
+            rc_shape = rc.shape
+            if coarse_dt is not None:
+                # bf16 level 1 is 16-row aligned — pad the quad kernel's
+                # 8-aligned rc out and slice ec back (one fused cast+pad
+                # pass each way; the quad kernels themselves stay f32)
+                H1, W1 = levels[1].shape
+                rc = jnp.pad(rc, ((0, H1 - rc_shape[0]),
+                                  (0, W1 - rc_shape[1]))).astype(coarse_dt)
             ec = vcycle(1, jnp.zeros(levels[1].shape, dtype=rc.dtype), rc)
+            if coarse_dt is not None:
+                ec = ec[:rc_shape[0], :rc_shape[1]].astype(b.dtype)
             return post_quad(p, b, ec)  # (p, residual_inf) fused
         if k == 0:
             if pallas_pre0_field is not None:
@@ -630,7 +677,10 @@ def make_multigrid_poisson(
             p = smooth_pair(level, p, b, cfg.pre_sweeps, level_idx=k)
             r = _residual(level, p, b)
         rc = _restrict(level, levels[k + 1], r)
+        if coarse_dt is not None and k == 0:
+            rc = rc.astype(coarse_dt)  # enter the bf16 correction path
         ec = vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
+        # bf16 ec promotes back to f32 in the add at k == 0
         p = p + _prolong(levels[k + 1], level, ec)
         if k == 0:
             if pallas_post0_res is not None:
@@ -830,6 +880,10 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
         make_quad_step_pre_smooth_restrict,
     )
 
+    if cfg.coarse_dtype is not None:
+        raise ValueError("coarse_dtype is not supported on the masked "
+                         "(defect-correction) hierarchy — separable "
+                         "aligned/quad paths only")
     rect = step_rect_params(grid)
     if rect is None:
         raise ValueError("quad masked multigrid requires the reference's "

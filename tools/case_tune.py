@@ -88,6 +88,9 @@ def main():
     if which in ("cavity", "cavity4096"):
         variants = [
             ("V(2,1) mc4 [current]", {}),
+            ("V(2,1) bf16-coarse", {"coarse_dtype": "bfloat16"}),
+            ("V(2,1) bf16 mc16", {"coarse_dtype": "bfloat16",
+                                  "min_coarse": 16}),
             ("V(2,1) tail1", {"tail_from": 1}),
             ("V(2,1) tail2", {"tail_from": 2}),
             ("V(2,1) tail3", {"tail_from": 3}),
