@@ -91,10 +91,19 @@ def main():
             ("V(2,1) bf16-coarse", {"coarse_dtype": "bfloat16"}),
             ("V(2,1) bf16 mc16", {"coarse_dtype": "bfloat16",
                                   "min_coarse": 16}),
+            ("V(2,1) f32 mc16", {"min_coarse": 16}),
+            ("V(2,1) bf16 mc32", {"coarse_dtype": "bfloat16",
+                                  "min_coarse": 32}),
             ("V(2,1) tail1", {"tail_from": 1}),
             ("V(2,1) tail2", {"tail_from": 2}),
             ("V(2,1) tail3", {"tail_from": 3}),
         ]
+    only = os.environ.get("CASE_TUNE_ONLY")
+    if only:
+        # comma-separated substring filter over variant names
+        pats = [s.strip() for s in only.split(",") if s.strip()]
+        variants = [(n, o) for n, o in variants
+                    if any(p in n for p in pats)]
     for name, ov in variants:
         try:
             # case construction inside the try: make_mg_tail raises at
