@@ -77,6 +77,16 @@ def make_cavity_case(
         import dataclasses as _dc
 
         mg = MGConfig(tol_factor=tolerance_factor, abs_tol=0.0)
+        # coarse_dtype='float32'/'f32' is the explicit full-precision
+        # opt-out of the auto bf16 coarse hierarchy below — normalize it to
+        # None (and strip the key so it does not count as a manual fusion
+        # override for the auto_whole_solve policy).
+        explicit_f32_coarse = bool(
+            mg_overrides
+            and mg_overrides.get("coarse_dtype") in ("float32", "f32"))
+        if explicit_f32_coarse:
+            mg_overrides = {k: v for k, v in mg_overrides.items()
+                            if k != "coarse_dtype"}
         if mg_overrides:
             mg = _dc.replace(mg, **mg_overrides)
         # provisional XLA solver (coarse_dtype is a kernel-path knob: the
@@ -190,14 +200,33 @@ def make_cavity_case(
                 make_quad_whole_solve,
             )
 
+            # Auto bf16 coarse hierarchy on the REAL-TPU per-kernel path
+            # (i.e. wherever whole_solve rejects — the 2048^2+ headline
+            # sizes): measured 1218.6 vs 1156.8 steps/s at 2048^2 (+5.3%,
+            # identical 1.0 cycles/step) and a wash at 4096^2 (271.3 vs
+            # 274.2, within noise) — tools/coarse_dtype_bench.py. Fully-auto
+            # case only: any fusion/precision knob in mg_overrides (or the
+            # explicit 'float32' opt-out above) keeps full precision.
+            auto_bf16 = (not interp and not explicit_f32_coarse
+                         and mg.coarse_dtype is None
+                         and mg.tail_from is None and not mg.whole_step
+                         and not (mg_overrides and any(
+                             k in mg_overrides for k in (
+                                 "whole_solve", "whole_step", "tail_from",
+                                 "coarse_dtype"))))
+            mg_fb = (_dc.replace(mg, coarse_dtype="bfloat16") if auto_bf16
+                     else mg)
             solve, mg = auto_whole_solve(
                 mg, mg_overrides, interp,
                 build=lambda: make_quad_whole_solve(grid.shape, problem, mg,
                                                     interpret=interp),
                 fallback=lambda: make_multigrid_poisson(
-                    problem, mg, dtype=dtype, aligned_io=True, use_pallas=True,
-                    pallas_interpret=interp, quad_level0=quad_l0,
+                    problem, mg_fb, dtype=dtype, aligned_io=True,
+                    use_pallas=True, pallas_interpret=interp,
+                    quad_level0=quad_l0,
                 ))
+            if not mg.whole_solve:
+                mg = mg_fb  # reflect the fallback's actual config
 
             # Tentative-state boundary converters: the carried u/v are the
             # TENTATIVE (u*, v*) fields; the logical state applies the

@@ -51,7 +51,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 from cfd_tpu.kernels.mg_tail import (
+    _lv_masks_invdiag,
     _ref_bytes,
+    _residual as _tail_residual,
     build_tail_consts,
     run_tail_vcycle,
     tail_consts_bytes,
@@ -172,6 +174,10 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
         raise ValueError("coarse_dtype is a per-kernel-path knob — the "
                          "whole-solve hierarchy is already VMEM-resident "
                          "(unset whole_solve/whole_step to use it)")
+    if cfg.corr_opt:
+        raise ValueError("corr_opt is a masked defect-correction knob — "
+                         "separable hierarchies coarsen consistently and "
+                         "do not take it")
     H, Wp = shape
     ny, nx = H - 2, Wp - 2
     nyc, nxc = ny // 2, nx // 2
@@ -332,6 +338,24 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
             # --- the full-2D-weight coarse hierarchy (kernels.mg_tail)
             ec = run_tail_vcycle(levels, rc, getc, w_idx, t_idx, m_idx,
                                  omega, pre_sweeps, post_sweeps)
+            if cfg.corr_opt:
+                # clamped line-searched correction steplength at the
+                # exact/weighted defect-correction seam — the in-kernel
+                # twin of multigrid._corr_alpha (see its docstring for the
+                # clamp rationale): alpha = clip(<rc, A1 ec>/<A1 ec, A1 ec>,
+                # 1.0, 1.5) with A1 the level-1 weighted operator.
+                lv0 = levels[0]
+                wE, wW, wN, wS = (getc(w_idx[0] + i) for i in range(4))
+                interior1 = _lv_masks_invdiag(lv0, wE, wW, wN, wS)[0]
+                Aec = -_tail_residual(lv0, ec, jnp.zeros_like(ec),
+                                      interior1, wE, wW, wN, wS)
+                num = jnp.sum(rc * Aec)
+                den = jnp.sum(Aec * Aec)
+                raw = jnp.where(den > 0,
+                                num / jnp.where(den > 0, den,
+                                                jnp.ones_like(den)),
+                                jnp.ones_like(num))
+                ec = jnp.clip(raw, 1.0, 1.5) * ec
 
             # --- prolongation on FLUID cells + exact post + tolerance
             # residual (the kernels.step_quad post compute at s=0)

@@ -753,6 +753,11 @@ class ShardedQuadProjection:
                 "coarse_dtype (mixed-precision coarse hierarchy) is a "
                 "single-device per-kernel-path knob — the sharded builders "
                 "keep their own f32 level-1 block + replicated tail")
+        if mg.corr_opt:
+            raise ValueError(
+                "corr_opt (line-searched coarse correction) is a "
+                "single-device per-kernel-path knob — the sharded masked "
+                "builder does not take it")
         if (flavor != "backwards_step"
                 and 2 * (mg.pre_sweeps + mg.post_sweeps) + 1 > DEV_HALO):
             raise ValueError(

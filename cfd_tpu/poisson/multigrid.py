@@ -402,6 +402,43 @@ class MGConfig:
     # only; incompatible with tail_from/whole_solve/whole_step fusion and
     # the masked/sharded builders (loud errors). None = full precision.
     coarse_dtype: str | None = None
+    # Residual-minimizing coarse-correction steplength for the masked
+    # DEFECT-CORRECTION hierarchies (the backwards-step geometry): the
+    # coarse operator there is a non-Galerkin approximation (Neumann-
+    # through-solids weights, masked_channel_problem) of the exact fine
+    # operator (backwards_step-01.cpp:685-739 ghost semantics), so the
+    # correction returned for the seam equation A1 ec = rc has a
+    # systematically wrong amplitude along the slowest error mode. Scaling
+    # it by the 1-D line-search optimum
+    #   alpha = <rc, A1 ec> / <A1 ec, A1 ec>
+    # (minimizes ||rc - alpha A1 ec||_2 before prolongation) costs one
+    # level-1 operator apply + two reductions per cycle and cannot move
+    # the fixed point (the update is residual-driven: rc = 0 -> ec = 0).
+    # Honored by the masked per-kernel paths only; separable hierarchies
+    # (their coarsening is consistent, see coarsen_problem edge_fix) and
+    # the fused whole_solve/whole_step/sharded builders reject it loudly.
+    corr_opt: bool = False
+
+
+def _corr_alpha(level1: _Level, rc, ec):
+    """Clamped line-search steplength for the coarse-grid correction
+    (corr_opt). The raw optimum alpha = <rc, A1 ec>/<A1 ec, A1 ec> is
+    measured at ~1.10-1.15 SUSTAINED on the step geometry (the coarse
+    hierarchy systematically under-corrects by ~13%) — but on the first
+    cycle of a solve the correction is only weakly aligned with rc under
+    the level-1 operator (cos ~0.4, raw alpha ~0.2), and applying that
+    tiny alpha wipes a correction whose unseen components were doing real
+    work: the un-clamped search measured cascading NEGATIVE alphas and
+    solves stall-exiting at 400-1000x the baseline floor. The [1.0, 1.5]
+    clamp makes the anomalous cycles a no-op (alpha 1 = plain correction)
+    while keeping the systematic over-relaxation where the search is
+    trustworthy."""
+    Aec = _apply(level1, ec)
+    num = jnp.sum(rc * Aec)
+    den = jnp.sum(Aec * Aec)
+    raw = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                    jnp.ones_like(num))
+    return jnp.clip(raw, 1.0, 1.5)
 
 
 def _apply_np(p: PoissonProblem, x: np.ndarray) -> np.ndarray:
@@ -537,6 +574,10 @@ def make_multigrid_poisson(
                              "coarse tail (tail_from) — the tail keeps its "
                              "own in-VMEM f32 hierarchy")
         coarse_dt = jnp.bfloat16
+    if cfg.corr_opt and exact_level0 is None:
+        raise ValueError("corr_opt is a masked defect-correction knob — "
+                         "separable hierarchies coarsen consistently "
+                         "(coarsen_problem edge_fix) and do not take it")
     if aligned_io:
         if (not use_pallas or exact_level0 is not None
                 or (cfg.pin_mean and not pure_neumann)):
@@ -680,6 +721,10 @@ def make_multigrid_poisson(
         if coarse_dt is not None and k == 0:
             rc = rc.astype(coarse_dt)  # enter the bf16 correction path
         ec = vcycle(k + 1, jnp.zeros(levels[k + 1].shape, dtype=rc.dtype), rc)
+        if cfg.corr_opt and k == 0:
+            # exact/weighted defect-correction seam: line-search the
+            # correction amplitude (see the MGConfig.corr_opt docstring)
+            ec = _corr_alpha(levels[1], rc, ec) * ec
         # bf16 ec promotes back to f32 in the add at k == 0
         p = p + _prolong(levels[k + 1], level, ec)
         if k == 0:
@@ -984,6 +1029,11 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
             p, res, _, it = carry
             p, rc = pre(p, b)
             ec = cvcycle(0, jnp.zeros(levels[0].shape, dtype=rc.dtype), rc)
+            if cfg.corr_opt:
+                # exact/weighted defect-correction seam (levels[0] here is
+                # GLOBAL level 1): line-search the correction amplitude —
+                # see the MGConfig.corr_opt docstring
+                ec = _corr_alpha(levels[0], rc, ec) * ec
             p, new_res = post(p, b, ec)
             return p, new_res.astype(dtype_), res, it + 1
 
