@@ -81,12 +81,10 @@ def make_cavity_case(
         # opt-out of the auto bf16 coarse hierarchy below — normalize it to
         # None (and strip the key so it does not count as a manual fusion
         # override for the auto_whole_solve policy).
-        explicit_f32_coarse = bool(
-            mg_overrides
-            and mg_overrides.get("coarse_dtype") in ("float32", "f32"))
-        if explicit_f32_coarse:
-            mg_overrides = {k: v for k, v in mg_overrides.items()
-                            if k != "coarse_dtype"}
+        from cfd_tpu.poisson.multigrid import normalize_coarse_dtype_optout
+
+        explicit_f32_coarse, mg_overrides = \
+            normalize_coarse_dtype_optout(mg_overrides)
         if mg_overrides:
             mg = _dc.replace(mg, **mg_overrides)
         # provisional XLA solver (coarse_dtype is a kernel-path knob: the
@@ -207,13 +205,10 @@ def make_cavity_case(
             # 274.2, within noise) — tools/coarse_dtype_bench.py. Fully-auto
             # case only: any fusion/precision knob in mg_overrides (or the
             # explicit 'float32' opt-out above) keeps full precision.
-            auto_bf16 = (not interp and not explicit_f32_coarse
-                         and mg.coarse_dtype is None
-                         and mg.tail_from is None and not mg.whole_step
-                         and not (mg_overrides and any(
-                             k in mg_overrides for k in (
-                                 "whole_solve", "whole_step", "tail_from",
-                                 "coarse_dtype"))))
+            from cfd_tpu.poisson.multigrid import auto_bf16_coarse
+
+            auto_bf16 = auto_bf16_coarse(interp, explicit_f32_coarse, mg,
+                                         mg_overrides)
             mg_fb = (_dc.replace(mg, coarse_dtype="bfloat16") if auto_bf16
                      else mg)
             solve, mg = auto_whole_solve(

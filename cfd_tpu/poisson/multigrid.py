@@ -414,10 +414,46 @@ class MGConfig:
     # (minimizes ||rc - alpha A1 ec||_2 before prolongation) costs one
     # level-1 operator apply + two reductions per cycle and cannot move
     # the fixed point (the update is residual-driven: rc = 0 -> ec = 0).
-    # Honored by the masked per-kernel paths only; separable hierarchies
-    # (their coarsening is consistent, see coarsen_problem edge_fix) and
-    # the fused whole_solve/whole_step/sharded builders reject it loudly.
+    # Honored by every masked path — the XLA builder, the per-kernel quad
+    # builder AND the fused masked whole_solve/whole_step kernels (the
+    # production step size auto-fuses, so the knob must live in-kernel to
+    # matter; kernels/whole_solve.py masked_vcycle_ctx). Separable
+    # hierarchies (their coarsening is consistent, see coarsen_problem
+    # edge_fix) and the sharded builders reject it loudly.
     corr_opt: bool = False
+
+
+def normalize_coarse_dtype_optout(mg_overrides):
+    """Normalize the explicit full-precision opt-out of the auto bf16
+    coarse hierarchy: ``coarse_dtype='float32'/'f32'`` in mg_overrides
+    means "keep f32" — strip the key (so it does not count as a manual
+    fusion override for the auto_whole_solve policy) and report the
+    opt-out. Returns ``(explicit_f32, stripped_overrides)``. Pure helper
+    so the predicate is unit-testable off-TPU (tests/test_coarse_dtype.py)."""
+    explicit_f32 = bool(
+        mg_overrides
+        and mg_overrides.get("coarse_dtype") in ("float32", "f32"))
+    if explicit_f32:
+        mg_overrides = {k: v for k, v in mg_overrides.items()
+                        if k != "coarse_dtype"}
+    return explicit_f32, mg_overrides
+
+
+def auto_bf16_coarse(interp: bool, explicit_f32: bool, mg: "MGConfig",
+                     mg_overrides) -> bool:
+    """The fully-auto condition for flipping the per-kernel fallback's
+    coarse hierarchy to bf16 (cases/cavity.py): real-TPU path only (the
+    measured +5.3% at 2048^2 is a TPU number; interpret runs keep the
+    reference-matching f32 ladder), no explicit opt-out, and no manual
+    fusion/precision knob in mg_overrides — manual control keeps full
+    precision exactly like auto_whole_solve's manual rule."""
+    return (not interp and not explicit_f32
+            and mg.coarse_dtype is None
+            and mg.tail_from is None and not mg.whole_step
+            and not (mg_overrides and any(
+                k in mg_overrides for k in (
+                    "whole_solve", "whole_step", "tail_from",
+                    "coarse_dtype"))))
 
 
 def _corr_alpha(level1: _Level, rc, ec):

@@ -222,3 +222,39 @@ def test_cli_parses_string_mg_value():
          "--precision", "f32", "--mg", "coarse_dtype=bfloat16"])
     with pytest.raises(ValueError, match="coarse_dtype requires"):
         make_case_from_args(args)
+
+
+def test_auto_bf16_predicate():
+    """The fully-auto bf16 flip condition and the 'float32' opt-out strip
+    are pure helpers (poisson/multigrid.py) so a regression is caught
+    off-TPU (ADVICE round-4 low: the factory gate is real-TPU-only)."""
+    cfg = M.MGConfig(tol_factor=1e-6)
+
+    # opt-out normalization: strip + report, other keys survive
+    assert M.normalize_coarse_dtype_optout(None) == (False, None)
+    assert M.normalize_coarse_dtype_optout({}) == (False, {})
+    f32, ov = M.normalize_coarse_dtype_optout(
+        {"coarse_dtype": "float32", "pre_sweeps": 2})
+    assert f32 and ov == {"pre_sweeps": 2}
+    f32, ov = M.normalize_coarse_dtype_optout({"coarse_dtype": "f32"})
+    assert f32 and ov == {}
+    f32, ov = M.normalize_coarse_dtype_optout({"coarse_dtype": "bfloat16"})
+    assert not f32 and ov == {"coarse_dtype": "bfloat16"}
+
+    # fully-auto case flips
+    assert M.auto_bf16_coarse(False, False, cfg, None)
+    assert M.auto_bf16_coarse(False, False, cfg, {"pre_sweeps": 2})
+    # interpret mode, explicit opt-out, manual fusion knobs all keep f32
+    assert not M.auto_bf16_coarse(True, False, cfg, None)
+    assert not M.auto_bf16_coarse(False, True, cfg, None)
+    assert not M.auto_bf16_coarse(False, False, cfg,
+                                  {"whole_solve": False})
+    assert not M.auto_bf16_coarse(False, False, cfg,
+                                  {"coarse_dtype": "bfloat16"})
+    assert not M.auto_bf16_coarse(
+        False, False, dataclasses.replace(cfg, whole_step=True), None)
+    assert not M.auto_bf16_coarse(
+        False, False, dataclasses.replace(cfg, tail_from=1), None)
+    assert not M.auto_bf16_coarse(
+        False, False, dataclasses.replace(cfg, coarse_dtype="bfloat16"),
+        None)

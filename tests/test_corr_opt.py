@@ -79,8 +79,9 @@ def test_corr_opt_quad_seam_matches_xla_seam():
 
 
 def test_corr_opt_guards():
-    """Separable hierarchies and the fused/sharded builders reject corr_opt
-    loudly (per-kernel masked paths only)."""
+    """Separable hierarchies and the sharded builders reject corr_opt
+    loudly; the MASKED fused whole_solve honors it (the production step
+    size auto-fuses, so the knob must live in-kernel to matter)."""
     from cfd_tpu.cases import make_cavity_case
 
     with pytest.raises(ValueError, match="corr_opt"):
@@ -91,27 +92,59 @@ def test_corr_opt_guards():
                                     tolerance_factor=1e-5,
                                     smoother_mode="off")
     cfg = M.MGConfig(tol_factor=1e-5, corr_opt=True)
+    from cfd_tpu.kernels.whole_solve import (make_quad_step_whole_solve,
+                                             make_quad_whole_solve)
+
+    # masked fused builder ACCEPTS the knob (equivalence pinned below)
+    assert make_quad_step_whole_solve(case.grid, case.coeffs, cfg,
+                                      interpret=True) is not None
+    # separable fused builder rejects it
+    prob = M.cavity_problem(32, 32, 1 / 32, 1 / 32)
+    with pytest.raises(ValueError, match="corr_opt"):
+        make_quad_whole_solve((34, 34), prob, cfg)
+
+
+def test_corr_opt_fused_matches_per_kernel_quad():
+    """The fused masked whole_solve's in-kernel corr_opt (alpha at the
+    exact/weighted seam) reproduces the per-kernel quad builder's corr_opt
+    trajectory: same cycles +-1, same iterate to f32 roundoff."""
+    case = make_backwards_step_case(nx=64, ny=16, dtype=jnp.float32,
+                                    poisson="multigrid",
+                                    tolerance_factor=1e-5,
+                                    smoother_mode="off")
+    g = case.grid
+    cfg = M.MGConfig(tol_factor=1e-5, abs_tol=1e-10, post_sweeps=1,
+                     corr_opt=True)
     from cfd_tpu.kernels.whole_solve import make_quad_step_whole_solve
 
-    with pytest.raises(ValueError, match="corr_opt"):
-        make_quad_step_whole_solve(case.grid, case.coeffs, cfg)
+    solve_f = make_quad_step_whole_solve(g, case.coeffs, cfg, interpret=True)
+    solve_q = M.make_masked_quad_multigrid_poisson(g, case.coeffs, cfg,
+                                                   interpret=True)
+    b = _rand_b(g, jnp.float32, seed=7, zero_mean=True)
+    guess4 = to_quad(jnp.zeros(g.shape, jnp.float32), g.shape)
+    b4 = to_quad(b, g.shape)
+    p4_q, it_q, res_q = solve_q(guess4, b4)
+    p4_f, it_f, res_f = solve_f(guess4, b4)
+    assert abs(int(it_f) - int(it_q)) <= 1
+    np.testing.assert_allclose(np.asarray(from_quad(p4_f, g.shape)),
+                               np.asarray(from_quad(p4_q, g.shape)),
+                               atol=5e-5)
 
 
-def test_corr_opt_routes_auto_whole_solve_to_fallback():
-    """Setting corr_opt in mg_overrides is manual control: auto_whole_solve
-    must keep the per-kernel path (which honors the knob) instead of
-    auto-enabling the fused solve (which rejects it)."""
+def test_corr_opt_auto_whole_solve_fuses():
+    """corr_opt is NOT a manual fusion knob: the masked fused path honors
+    it in-kernel, so auto_whole_solve may still auto-enable the fused solve
+    when only corr_opt is overridden."""
     from cfd_tpu.kernels.whole_solve import auto_whole_solve
 
     solve, mg = auto_whole_solve(
         M.MGConfig(tol_factor=1e-5, corr_opt=True), {"corr_opt": True},
         False,
-        build=lambda: (_ for _ in ()).throw(AssertionError("not manual")),
-        fallback=lambda: "fallback")
-    assert solve == "fallback" and not mg.whole_solve
+        build=lambda: "fused",
+        fallback=lambda: (_ for _ in ()).throw(AssertionError("fell back")))
+    assert solve == "fused" and mg.whole_solve
 
-    # and the quad step factory end-to-end: corr_opt override builds (the
-    # per-kernel masked quad path honors it; the fused build would raise)
+    # and the quad step factory end-to-end: corr_opt override builds
     case = make_backwards_step_case(nx=64, ny=16, dtype=jnp.float32,
                                     poisson="multigrid",
                                     tolerance_factor=1e-5,

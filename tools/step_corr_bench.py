@@ -4,12 +4,16 @@ VERDICT round-3 item 4b: the masked backwards-step case runs ~4.8-5
 V-cycles/step under honest stall exits — the defect-correction hierarchy's
 non-Galerkin coarse operator leaves a barely-contracting mode. corr_opt
 rescales the coarse correction by the residual-minimizing steplength at the
-exact/weighted seam (poisson/multigrid.py MGConfig.corr_opt). This tool
-measures cycles/step (contention-immune) + steps/s for:
+exact/weighted seam (poisson/multigrid.py MGConfig.corr_opt); the fused
+masked whole_solve honors it in-kernel (kernels/whole_solve.py
+masked_vcycle_ctx). This tool measures cycles/step (contention-immune) +
+steps/s for matched pairs so the corr_opt effect is not confounded with
+the ~20% fusion speedup:
 
-  per-kernel          (whole_solve=False baseline the knob composes with)
-  per-kernel+corr_opt (the experiment)
-  default             (auto whole_solve fused solve — context)
+  per-kernel           (whole_solve=False baseline)
+  per-kernel+corr_opt  (knob on the per-kernel path)
+  fused                (auto whole_solve default — the production path)
+  fused+corr_opt       (knob in-kernel — the production experiment)
 
 Usage: python tools/step_corr_bench.py [nx ny]   (default 2048 256)
 """
@@ -84,8 +88,9 @@ def main() -> None:
     warmup = int(os.environ.get("BENCH_WARMUP_STEPS", 400))
     for ov, label in (
         ({"whole_solve": False}, "per-kernel"),
-        ({"corr_opt": True}, "per-kernel+corr_opt"),
-        (None, "default(auto whole_solve)"),
+        ({"whole_solve": False, "corr_opt": True}, "per-kernel+corr_opt"),
+        (None, "fused(auto whole_solve)"),
+        ({"corr_opt": True}, "fused+corr_opt"),
     ):
         print(json.dumps(run(nx, ny, ov, label, steps, chunk, warmup)),
               flush=True)
