@@ -170,11 +170,18 @@ def _residual(lv, p, b, interior, wE, wW, wN, wS):
     return jnp.where(interior, b - a, jnp.zeros_like(b))
 
 
-def build_tail_consts(levels, pinv: np.ndarray):
+def build_tail_consts(levels, pinv: np.ndarray, dtype=np.float32):
     """(consts, w_idx, t_idx, m_idx) for ``run_tail_vcycle``: per-level
     weight arrays, inter-level transfer matrices, coarsest pinv lane
     blocks — the full VMEM-resident constant set of a fused coarse tail.
-    Shared by make_mg_tail and kernels.whole_solve."""
+    Shared by make_mg_tail and kernels.whole_solve.
+
+    ``dtype``: storage dtype of the constants (float32, or ml_dtypes
+    bfloat16 for the mixed-precision whole-solve hierarchy — halves their
+    VMEM footprint; the transfer-matrix entries 0.25/0.5/0.75 are exactly
+    representable in bfloat16 and the MXU accumulates in f32, so the
+    transfers stay as accurate as the f32 ladder; weight/pinv rounding
+    only perturbs the correction path)."""
     if len(levels) < 2:
         raise ValueError("mg tail needs at least two levels (one coarsening)")
     bot = levels[-1]
@@ -192,25 +199,46 @@ def build_tail_consts(levels, pinv: np.ndarray):
         consts.extend(_transfer_matrices(fine, coarse))
     m_idx = len(consts)
     consts.extend(_pinv_lane_blocks(np.asarray(pinv, np.float32), bot))
+    if np.dtype(dtype) != np.float32:
+        consts = [c.astype(dtype) for c in consts]
     return consts, w_idx, t_idx, m_idx
 
 
 def run_tail_vcycle(levels, b0, getc, w_idx, t_idx, m_idx,
-                    omega: float, pre_sweeps: int, post_sweeps: int):
+                    omega: float, pre_sweeps: int, post_sweeps: int,
+                    store_dtype=None):
     """The fused tail's V-cycle body on VALUES: ``vcycle(zeros, b0) -> e``
     over ``levels`` with constants fetched via ``getc(i)`` (a ref-load in
     kernel context). Pure jnp — callable from any Pallas kernel whose
-    levels fit in VMEM."""
+    levels fit in VMEM.
+
+    ``store_dtype`` (e.g. jnp.bfloat16): keep the long-lived per-level
+    arrays — the restricted sources ``b[k]`` and the pre-smoothed iterates
+    ``ps[k]``, which stay live across the whole descent+ascent — in this
+    dtype, upcasting to f32 for each level's arithmetic. Halves the
+    V-cycle's resident VMEM (the enabler for the whole-solve kernel at the
+    2048^2 headline size). The rounding only perturbs the CORRECTION path
+    (the caller's finest level and tolerance residual stay f32), so it
+    shifts the contraction rate, never the convergence floor — the same
+    iterative-refinement argument as MGConfig.coarse_dtype. None = exact
+    f32 (bitwise-identical to the pre-round-5 body). The returned
+    correction is always f32."""
     omega = float(omega)
     K = len(levels)
     bot = levels[-1]
     nyb = bot.ny
+    store = (lambda x: x) if store_dtype is None else \
+        (lambda x: x.astype(store_dtype))
+    f32 = (lambda x: x) if store_dtype is None else \
+        (lambda x: x.astype(jnp.float32))
 
     def weights(k):
-        return tuple(getc(w_idx[k] + i) for i in range(4))
+        # weight constants may be stored reduced-precision; arithmetic
+        # (denominators, smoothing) always runs f32
+        return tuple(f32(getc(w_idx[k] + i)) for i in range(4))
 
     b = [None] * K
-    b[0] = b0
+    b[0] = store(b0)
     ps = [None] * K
     # descent: pre-smooth from zeros, residual, restrict
     for k in range(K - 1):
@@ -218,51 +246,58 @@ def run_tail_vcycle(levels, b0, getc, w_idx, t_idx, m_idx,
         wE, wW, wN, wS = weights(k)
         interior, red, black, inv_diag = _lv_masks_invdiag(
             lv, wE, wW, wN, wS)
-        p = _smooth_pairs(lv, jnp.zeros_like(b[k]), b[k], pre_sweeps,
+        bk = f32(b[k])
+        p = _smooth_pairs(lv, jnp.zeros_like(bk), bk, pre_sweeps,
                           omega, wE, wW, wN, wS, red, black, inv_diag)
-        r = _residual(lv, p, b[k], interior, wE, wW, wN, wS)
-        Rr, Rc = getc(t_idx[k]), getc(t_idx[k] + 1)
-        b[k + 1] = _dot(_dot(Rr, r), Rc)
-        ps[k] = p
+        r = _residual(lv, p, bk, interior, wE, wW, wN, wS)
+        Rr, Rc = f32(getc(t_idx[k])), f32(getc(t_idx[k] + 1))
+        b[k + 1] = store(_dot(_dot(Rr, r), Rc))
+        ps[k] = store(p)
 
     # coarsest: dense pseudo-inverse via lane-space blocks
-    bb = b[K - 1]
+    bb = f32(b[K - 1])
     Hb, Wb = bot.shape
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (Hb, Wb), 0)
     e = jnp.zeros_like(bb)
     for jp in range(1, nyb + 1):
         for j in range(1, nyb + 1):
-            Mi = getc(m_idx + (jp - 1) * nyb + (j - 1))
+            Mi = f32(getc(m_idx + (jp - 1) * nyb + (j - 1)))
             # Mosaic rejects the zero-size slice jnp.roll(x, 0) emits
             # (same guard as kernels.projection._roll)
             rolled = bb if jp == j else jnp.roll(bb, jp - j, axis=0)
             e = jnp.where(rows_b == jp, e + _dot(rolled, Mi), e)
 
-    # ascent: prolong, correct, post-smooth
+    # ascent: prolong, correct, post-smooth (e stays f32 level-to-level —
+    # only the stored descent arrays pay the reduced precision)
     for k in range(K - 2, -1, -1):
         lv = levels[k]
         wE, wW, wN, wS = weights(k)
         interior, red, black, inv_diag = _lv_masks_invdiag(
             lv, wE, wW, wN, wS)
-        Pr, Pc = getc(t_idx[k] + 2), getc(t_idx[k] + 3)
+        Pr, Pc = f32(getc(t_idx[k] + 2)), f32(getc(t_idx[k] + 3))
         ef = _dot(_dot(Pr, e), Pc)
-        p = ps[k] + jnp.where(interior, ef, jnp.zeros_like(ef))
-        e = _smooth_pairs(lv, p, b[k], post_sweeps, omega,
+        p = f32(ps[k]) + jnp.where(interior, ef, jnp.zeros_like(ef))
+        e = _smooth_pairs(lv, p, f32(b[k]), post_sweeps, omega,
                           wE, wW, wN, wS, red, black, inv_diag)
     return e
 
 
 def tail_consts_bytes(consts) -> int:
-    """VMEM footprint of a tail const list (lane padding accounted)."""
-    return sum(_ref_bytes(c.shape) for c in consts)
+    """VMEM footprint of a tail const list (lane/sublane padding
+    accounted, per each const's own dtype)."""
+    return sum(_ref_bytes(c.shape, np.dtype(c.dtype).itemsize)
+               for c in consts)
 
 
-def _ref_bytes(shape):
+def _ref_bytes(shape, itemsize: int = 4):
+    """VMEM bytes of a ref: native tiles are (8, 128) for 4-byte and
+    (16, 128) for 2-byte dtypes."""
+    g = 16 if itemsize == 2 else 8
     if len(shape) == 2:
         H, W = shape
-        return _round_up(H, 8) * _round_up(W, 128) * 4
+        return _round_up(H, g) * _round_up(W, 128) * itemsize
     n, H, W = shape
-    return n * _round_up(H, 8) * _round_up(W, 128) * 4
+    return n * _round_up(H, g) * _round_up(W, 128) * itemsize
 
 
 def make_mg_tail(levels, omega: float, pre_sweeps: int, post_sweeps: int,

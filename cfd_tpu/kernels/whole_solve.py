@@ -90,9 +90,13 @@ def _bilinear_corr(ec, Jc, Ic, nyc: int, nxc: int):
 
 
 def _whole_call(kernel, n_consts: int, plane_shape, vmem_limit: int,
-                interpret: bool):
+                interpret: bool, alias_p: bool = False):
     """The shared pallas_call scaffold: (p4, b4, tol, *consts) ->
-    (p4, (cycles, res) SMEM pair), everything VMEM-resident."""
+    (p4, (cycles, res) SMEM pair), everything VMEM-resident.
+
+    ``alias_p``: alias the warm-start input with the pressure output
+    (the solve consumes its warm start), saving one whole quad field of
+    VMEM — the margin the 2048^2 bf16-hierarchy composition needs."""
     from jax.experimental.pallas import tpu as pltpu
 
     Hq8, Wqa = plane_shape
@@ -106,6 +110,7 @@ def _whole_call(kernel, n_consts: int, plane_shape, vmem_limit: int,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct((4, Hq8, Wqa), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        input_output_aliases={0: 0} if alias_p else {},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=False, vmem_limit_bytes=vmem_limit),
         interpret=interpret,
@@ -147,6 +152,17 @@ def tolerance_loop(p0, vcycle, tol, max_cycles: int, stall_ratio: float):
     return out[:4], out[6], out[4]
 
 
+def _coarse_dt(cfg: MGConfig):
+    """Validated storage dtype of the in-VMEM coarse hierarchy (None or
+    jnp.bfloat16)."""
+    if cfg.coarse_dtype is None:
+        return None
+    if cfg.coarse_dtype not in ("bfloat16", "bf16"):
+        raise ValueError(f"unsupported coarse_dtype {cfg.coarse_dtype!r}"
+                         " (only 'bfloat16')")
+    return jnp.bfloat16
+
+
 def _coarsen_chain(problem: PoissonProblem, cfg: MGConfig):
     probs = [problem]
     while (probs[-1].nx % 2 == 0 and probs[-1].ny % 2 == 0
@@ -169,11 +185,17 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
     levels' live-array VMEM footprint, the (Hq8, Wqa) plane shape, and
     ``make_vcycle(getc, b) -> vcycle(p4_list) -> (p4_list, res)`` — the
     in-kernel body (``getc(i)`` loads consts[i]; pin_mean's per-cycle
-    interior mean shift is folded in after the fused residual)."""
-    if cfg.coarse_dtype is not None:
-        raise ValueError("coarse_dtype is a per-kernel-path knob — the "
-                         "whole-solve hierarchy is already VMEM-resident "
-                         "(unset whole_solve/whole_step to use it)")
+    interior mean shift is folded in after the fused residual).
+
+    ``cfg.coarse_dtype='bfloat16'``: store the whole IN-VMEM coarse
+    hierarchy — tail constants and the per-level descent arrays — in
+    bfloat16 (f32 arithmetic per level, run_tail_vcycle store_dtype).
+    Roughly halves the hierarchy's resident footprint; the finest quad
+    planes, smoothing and tolerance residual stay f32, so the convergence
+    floor is untouched (MGConfig.coarse_dtype's iterative-refinement
+    argument). This is what lets the whole-solve kernel fit VMEM at the
+    2048^2 cavity headline size, where the f32 hierarchy build-rejects."""
+    coarse_dt = _coarse_dt(cfg)
     if cfg.corr_opt:
         raise ValueError("corr_opt is a masked defect-correction knob — "
                          "separable hierarchies coarsen consistently and "
@@ -191,13 +213,21 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
                          f"plane shape {(Hq8, Wqa)}")
     pinv = _dense_pinv(probs[-1])
 
-    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
+    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(
+        levels, pinv,
+        dtype=np.dtype(coarse_dt) if coarse_dt is not None else np.float32)
     wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape)
     fine_consts = [*wEc, *wWc, *wNc, *wSc]  # 8 arrays
     n_fine = len(fine_consts)
     consts = [jnp.asarray(c, jnp.float32) for c in fine_consts] \
-        + [jnp.asarray(c, jnp.float32) for c in tail_consts]
-    est_fixed = (sum(3 * _ref_bytes(lv.shape) for lv in levels)
+        + [jnp.asarray(c) for c in tail_consts]
+    cb = 2 if coarse_dt is not None else 4
+    # per-level live set: b[k] + ps[k] (store dtype) across the whole
+    # descent+ascent, + transient f32 arithmetic at the active level
+    # (bounded by one extra f32 set at the tail's finest level)
+    est_fixed = (sum(3 * _ref_bytes(lv.shape, cb) for lv in levels)
+                 + (3 * _ref_bytes(levels[0].shape)
+                    if coarse_dt is not None else 0)
                  + tail_consts_bytes(tail_consts)
                  + sum(_ref_bytes(np.asarray(c).shape) for c in fine_consts))
 
@@ -238,7 +268,8 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
 
             # --- the whole coarse hierarchy (kernels.mg_tail body)
             ec = run_tail_vcycle(levels, rc, tail_getc, w_idx, t_idx, m_idx,
-                                 omega, pre_sweeps, post_sweeps)
+                                 omega, pre_sweeps, post_sweeps,
+                                 store_dtype=coarse_dt)
 
             # --- finest level: bilinear prolongation + post-smooth +
             # tolerance residual (the kernels.quad post compute at s=0)
@@ -269,11 +300,10 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
     mode), defect-correction structure preserved exactly
     (/root/reference/backwards_step-01.cpp:685-740 ghosts on the fine
     level, weighted approximation below). Same contract as
-    separable_vcycle_ctx."""
-    if cfg.coarse_dtype is not None:
-        raise ValueError("coarse_dtype is a per-kernel-path knob — the "
-                         "whole-solve hierarchy is already VMEM-resident "
-                         "(unset whole_solve/whole_step to use it)")
+    separable_vcycle_ctx, including the ``cfg.coarse_dtype='bfloat16'``
+    in-VMEM bf16 hierarchy (the masked 2D weights are 0/1 valued — exactly
+    representable — and the defect-correction seam stays f32)."""
+    coarse_dt = _coarse_dt(cfg)
     from cfd_tpu.kernels.step_quad import (
         _exact_residual_quad,
         _smooth_stage_quad,
@@ -303,9 +333,14 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
                          f"plane shape {(Hq8, Wqa)}")
     pinv = _dense_pinv(probs[-1])
 
-    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(levels, pinv)
-    consts = [jnp.asarray(c, jnp.float32) for c in tail_consts]
-    est_fixed = (sum(3 * _ref_bytes(lv.shape) for lv in levels)
+    tail_consts, w_idx, t_idx, m_idx = build_tail_consts(
+        levels, pinv,
+        dtype=np.dtype(coarse_dt) if coarse_dt is not None else np.float32)
+    consts = [jnp.asarray(c) for c in tail_consts]
+    cb = 2 if coarse_dt is not None else 4
+    est_fixed = (sum(3 * _ref_bytes(lv.shape, cb) for lv in levels)
+                 + (3 * _ref_bytes(levels[0].shape)
+                    if coarse_dt is not None else 0)
                  + tail_consts_bytes(tail_consts))
 
     omega = float(cfg.omega)
@@ -337,7 +372,8 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
 
             # --- the full-2D-weight coarse hierarchy (kernels.mg_tail)
             ec = run_tail_vcycle(levels, rc, getc, w_idx, t_idx, m_idx,
-                                 omega, pre_sweeps, post_sweeps)
+                                 omega, pre_sweeps, post_sweeps,
+                                 store_dtype=coarse_dt)
             if cfg.corr_opt:
                 # clamped line-searched correction steplength at the
                 # exact/weighted defect-correction seam — the in-kernel
@@ -345,7 +381,8 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
                 # clamp rationale): alpha = clip(<rc, A1 ec>/<A1 ec, A1 ec>,
                 # 1.0, 1.5) with A1 the level-1 weighted operator.
                 lv0 = levels[0]
-                wE, wW, wN, wS = (getc(w_idx[0] + i) for i in range(4))
+                wE, wW, wN, wS = (getc(w_idx[0] + i).astype(jnp.float32)
+                                  for i in range(4))
                 interior1 = _lv_masks_invdiag(lv0, wE, wW, wN, wS)[0]
                 Aec = -_tail_residual(lv0, ec, jnp.zeros_like(ec),
                                       interior1, wE, wW, wN, wS)
@@ -384,12 +421,28 @@ def _solve_from_ctx(ctx, cfg: MGConfig, what: str, interpret: bool):
     # VMEM estimate: finest quad p (in + carry + out) and b + the context's
     # fixed footprint (coarse levels + constants), lane padding accounted.
     qfield = 4 * _ref_bytes(plane_shape)
-    est = 4 * qfield + est_fixed
-    vmem_limit = int(1.5 * est + 20e6)
-    if vmem_limit > 115e6:
-        raise ValueError(
-            f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
-            f"{what} — use the per-kernel quad path")
+    alias_p = cfg.coarse_dtype is not None
+    if alias_p:
+        # bf16-hierarchy composition (the 2048^2 headline): the warm-start
+        # input aliases the output (3 resident quad fields: p_io, b, loop
+        # carry) and the budget uses an absolute temporaries allowance
+        # (~1.2 quad fields of transient f32 arithmetic + Mosaic stack)
+        # instead of the blanket 1.5x factor — the factor alone would
+        # reject a composition whose itemized footprint fits.
+        est = 3 * qfield + est_fixed
+        vmem_limit = min(int(est + 1.2 * qfield + 12e6), int(117e6))
+        if est + 0.8 * qfield + 12e6 > 117e6:
+            raise ValueError(
+                f"whole-solve VMEM estimate {est / 1e6:.0f} MB (+ transient"
+                f" allowance) too large for {what} even with the bf16 "
+                "hierarchy — use the per-kernel quad path")
+    else:
+        est = 4 * qfield + est_fixed
+        vmem_limit = int(1.5 * est + 20e6)
+        if vmem_limit > 115e6:
+            raise ValueError(
+                f"whole-solve VMEM estimate {est / 1e6:.0f} MB too large for "
+                f"{what} — use the per-kernel quad path")
     max_cycles = int(cfg.max_cycles)
     stall_ratio = float(cfg.stall_ratio)
 
@@ -407,7 +460,7 @@ def _solve_from_ctx(ctx, cfg: MGConfig, what: str, interpret: bool):
         sref[0, 1] = res
 
     call = _whole_call(kernel, len(consts), plane_shape, vmem_limit,
-                       interpret)
+                       interpret, alias_p=alias_p)
     return _make_solve(call, consts, cfg)
 
 

@@ -398,9 +398,14 @@ class MGConfig:
     # bf16's 8-bit mantissa because each cycle recomputes the true f32
     # residual (iterative-refinement structure: reduced precision perturbs
     # the CONTRACTION RATE, not the convergence floor). Halves the coarse
-    # levels' HBM/VMEM bytes. Per-kernel aligned/quad f32 Pallas paths
-    # only; incompatible with tail_from/whole_solve/whole_step fusion and
-    # the masked/sharded builders (loud errors). None = full precision.
+    # levels' HBM/VMEM bytes. Honored by (a) the per-kernel aligned/quad
+    # f32 Pallas paths (bf16 HBM storage between kernels) and (b) the
+    # FUSED whole_solve/whole_step kernels, separable AND masked, where it
+    # halves the in-VMEM hierarchy instead (kernels/whole_solve.py
+    # coarse_dt) — the margin that lets whole-solve build at the 2048^2
+    # cavity headline size. Incompatible with tail_from (the tail keeps
+    # its own f32 hierarchy), the per-kernel masked builder and the
+    # sharded builders (loud errors). None = full precision.
     coarse_dtype: str | None = None
     # Residual-minimizing coarse-correction steplength for the masked
     # DEFECT-CORRECTION hierarchies (the backwards-step geometry): the

@@ -159,14 +159,70 @@ def test_rejects_unknown_dtype():
             aligned_io=True, use_pallas=True, pallas_interpret=True)
 
 
-def test_whole_solve_rejects():
+def test_whole_solve_bf16_hierarchy_matches_f32():
+    """Round-5 composition (VERDICT round-4 item 1): the fused whole-solve
+    kernel with its IN-VMEM hierarchy stored bf16 must reach the same f32
+    tolerance as the f32-hierarchy kernel, within a cycle of it, with the
+    converged iterate close — the iterative-refinement argument, now inside
+    one Pallas call (kernels/whole_solve.py separable_vcycle_ctx)."""
+    from cfd_tpu.kernels.quad import to_quad
     from cfd_tpu.kernels.whole_solve import make_quad_whole_solve
 
     n = 64
+    tol_factor = 1e-4
     problem = M.channel_problem(n, n, 1.0 / n, 1.0 / n)
-    with pytest.raises(ValueError, match="per-kernel-path"):
-        make_quad_whole_solve((n + 2, n + 2), problem, _cfg_bf16(),
-                              interpret=True)
+    shape = (n + 2, n + 2)
+    cfg = M.MGConfig(pre_sweeps=2, post_sweeps=1, tol_factor=tol_factor)
+    solve_f32 = make_quad_whole_solve(shape, problem, cfg, interpret=True)
+    solve_bf16 = make_quad_whole_solve(shape, problem, _cfg_bf16(
+        pre_sweeps=2, post_sweeps=1, tol_factor=tol_factor), interpret=True)
+
+    rng = np.random.default_rng(7)
+    b_np = np.zeros(shape, np.float32)
+    b_np[1:n + 1, 1:n + 1] = rng.standard_normal((n, n)).astype(np.float32)
+    b = to_quad(jnp.asarray(b_np), shape)
+    p0 = jnp.zeros_like(b)
+    pa, ita, resa = solve_f32(p0, b)
+    pb, itb, resb = solve_bf16(p0, b)
+    tol = tol_factor * float(jnp.max(jnp.abs(b)))
+    assert float(resa) <= tol and float(resb) <= tol
+    # bf16 correction path may cost a cycle (contraction-rate shift only)
+    assert int(itb) <= int(ita) + 1, (int(ita), int(itb))
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa), atol=80 * tol)
+
+
+def test_masked_whole_solve_bf16_hierarchy_matches_f32():
+    """Same composition on the masked (backwards-step) whole-solve: exact
+    f32 fine level + bf16-stored defect-correction hierarchy."""
+    from cfd_tpu.cases.backwards_step import make_backwards_step_case
+    from cfd_tpu.kernels.whole_solve import make_quad_step_whole_solve
+
+    case = make_backwards_step_case(nx=64, ny=16, dtype=jnp.float32,
+                                    poisson="multigrid",
+                                    tolerance_factor=1e-4,
+                                    smoother_mode="off")
+    tol_factor = 1e-4
+    mk = lambda cfg: make_quad_step_whole_solve(case.grid, case.coeffs, cfg,
+                                                interpret=True)
+    solve_f32 = mk(M.MGConfig(pre_sweeps=2, post_sweeps=1,
+                              tol_factor=tol_factor))
+    solve_bf16 = mk(_cfg_bf16(pre_sweeps=2, post_sweeps=1,
+                              tol_factor=tol_factor))
+
+    from cfd_tpu.kernels.quad import to_quad
+
+    rng = np.random.default_rng(11)
+    b_np = np.zeros(case.grid.shape, np.float32)
+    fl = np.asarray(case.grid.fluid)
+    b_np[fl] = rng.standard_normal(int(fl.sum())).astype(np.float32)
+    b = to_quad(jnp.asarray(b_np), case.grid.shape)
+    p0 = jnp.zeros_like(b)
+    pa, ita, resa = solve_f32(p0, b)
+    pb, itb, resb = solve_bf16(p0, b)
+    tol = tol_factor * float(jnp.max(jnp.abs(b)))
+    assert float(resa) <= tol and float(resb) <= tol
+    assert int(itb) <= int(ita) + 1, (int(ita), int(itb))
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pa), atol=80 * tol)
 
 
 def test_auto_whole_solve_falls_back_to_per_kernel():
