@@ -215,6 +215,15 @@ def make_cavity_case(
                 mg, mg_overrides, interp,
                 build=lambda: make_quad_whole_solve(grid.shape, problem, mg,
                                                     interpret=interp),
+                # where the f32 fused hierarchy VMEM-rejects (2048^2), try
+                # the bf16-hierarchy whole-solve before giving up fusion —
+                # the round-5 composition of the two proven levers
+                # (auto_whole_solve docstring; on-chip probe in
+                # tools/ws2048_probe.py)
+                build_reduced=(lambda: make_quad_whole_solve(
+                    grid.shape, problem,
+                    _dc.replace(mg, coarse_dtype="bfloat16"),
+                    interpret=interp)) if auto_bf16 else None,
                 fallback=lambda: make_multigrid_poisson(
                     problem, mg_fb, dtype=dtype, aligned_io=True,
                     use_pallas=True, pallas_interpret=interp,
@@ -413,5 +422,9 @@ def make_cavity_case(
         info=dict(banner_title="Lid-Driven Cavity Flow Simulation",
                   length=cavity_length, height=cavity_height,
                   square_spacing=True, reynolds=reynolds_number,
-                  cfl=cfl_number, omega=omega, lid_velocity=lid_velocity),
+                  cfl=cfl_number, omega=omega, lid_velocity=lid_velocity,
+                  # the RESOLVED multigrid config (auto_whole_solve /
+                  # auto_bf16_coarse decisions applied) so tools and tests
+                  # can assert which solver path production actually took
+                  mg=(mg if poisson == "multigrid" else None)),
     )

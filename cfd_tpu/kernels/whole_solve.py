@@ -223,11 +223,12 @@ def separable_vcycle_ctx(shape, problem: PoissonProblem, cfg: MGConfig,
         + [jnp.asarray(c) for c in tail_consts]
     cb = 2 if coarse_dt is not None else 4
     # per-level live set: b[k] + ps[k] (store dtype) across the whole
-    # descent+ascent, + transient f32 arithmetic at the active level
-    # (bounded by one extra f32 set at the tail's finest level)
+    # descent+ascent. Transient f32 arithmetic at the active level is NOT
+    # summed here: the kernel is sequential, so level-1 f32 temporaries
+    # (<= 0.75 qfield — the aligned level-1 shape IS the quad plane shape)
+    # and finest-plane smoothing temporaries are never live together;
+    # _solve_from_ctx budgets their max once as the transient allowance.
     est_fixed = (sum(3 * _ref_bytes(lv.shape, cb) for lv in levels)
-                 + (3 * _ref_bytes(levels[0].shape)
-                    if coarse_dt is not None else 0)
                  + tail_consts_bytes(tail_consts)
                  + sum(_ref_bytes(np.asarray(c).shape) for c in fine_consts))
 
@@ -338,9 +339,9 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
         dtype=np.dtype(coarse_dt) if coarse_dt is not None else np.float32)
     consts = [jnp.asarray(c) for c in tail_consts]
     cb = 2 if coarse_dt is not None else 4
+    # transient f32 arithmetic is budgeted once in _solve_from_ctx (see
+    # separable_vcycle_ctx's est_fixed comment — sequential liveness)
     est_fixed = (sum(3 * _ref_bytes(lv.shape, cb) for lv in levels)
-                 + (3 * _ref_bytes(levels[0].shape)
-                    if coarse_dt is not None else 0)
                  + tail_consts_bytes(tail_consts))
 
     omega = float(cfg.omega)
@@ -425,10 +426,13 @@ def _solve_from_ctx(ctx, cfg: MGConfig, what: str, interpret: bool):
     if alias_p:
         # bf16-hierarchy composition (the 2048^2 headline): the warm-start
         # input aliases the output (3 resident quad fields: p_io, b, loop
-        # carry) and the budget uses an absolute temporaries allowance
-        # (~1.2 quad fields of transient f32 arithmetic + Mosaic stack)
-        # instead of the blanket 1.5x factor — the factor alone would
-        # reject a composition whose itemized footprint fits.
+        # carry) and the budget uses an absolute temporaries allowance —
+        # max over program points of transient f32 arithmetic (level-1
+        # temporaries <= 0.75 qfield vs finest smoothing temporaries
+        # ~0.8 qfield: sequential, never coexist) + ~12 MB Mosaic stack —
+        # instead of the blanket 1.5x factor, which would reject a
+        # composition whose itemized footprint fits. The admitting
+        # arithmetic is validated on-chip by tools/ws2048_probe.py.
         est = 3 * qfield + est_fixed
         vmem_limit = min(int(est + 1.2 * qfield + 12e6), int(117e6))
         if est + 0.8 * qfield + 12e6 > 117e6:
@@ -482,7 +486,7 @@ def make_quad_whole_solve(shape, problem: PoissonProblem, cfg: MGConfig,
 
 
 def auto_whole_solve(mg: MGConfig, mg_overrides, interp: bool, build,
-                     fallback):
+                     fallback, build_reduced=None):
     """Round-3 measured default policy for the f32 quad factories: the
     whole-solve kernel wins wherever the hierarchy fits in VMEM
     (BASELINE.md round-3 table — step 2048x256: 2715 vs 2248 steps/s,
@@ -495,7 +499,13 @@ def auto_whole_solve(mg: MGConfig, mg_overrides, interp: bool, build,
     while_loop of V-cycles is pathologically slow to interpret).
 
     ``build`` / ``fallback`` are thunks returning the solve callable.
-    Returns ``(solve, mg)`` with ``mg.whole_solve`` reflecting the
+    ``build_reduced`` (optional): a second fused build tried when
+    ``build`` VMEM-rejects — the bf16-hierarchy whole-solve, whose
+    halved in-VMEM footprint admits sizes the f32 hierarchy cannot
+    (the 2048^2 cavity headline; VERDICT round-4 item 1). Only the
+    fully-auto path reaches it, mirroring auto_bf16_coarse.
+    Returns ``(solve, mg)`` with ``mg.whole_solve`` (and, when the
+    reduced build is chosen, ``mg.coarse_dtype``) reflecting the
     chosen path."""
     import dataclasses as _dc
 
@@ -509,6 +519,13 @@ def auto_whole_solve(mg: MGConfig, mg_overrides, interp: bool, build,
     try:
         solve = build()
     except ValueError:
+        if build_reduced is not None:
+            try:
+                solve = build_reduced()
+            except ValueError:
+                return fallback(), mg
+            return solve, _dc.replace(mg, whole_solve=True,
+                                      coarse_dtype="bfloat16")
         return fallback(), mg
     return solve, _dc.replace(mg, whole_solve=True)
 

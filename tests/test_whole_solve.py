@@ -230,3 +230,48 @@ def test_auto_whole_solve_policy():
     solve, out = auto_whole_solve(
         dataclasses.replace(cfg, tail_from=1), None, False, build, fallback)
     assert solve is fell_back
+
+
+def test_auto_whole_solve_build_reduced():
+    """The round-5 composition rung: when the f32 fused build VMEM-rejects,
+    auto_whole_solve tries ``build_reduced`` (the bf16-hierarchy whole-solve,
+    VERDICT round-4 item 1) before falling back to per-kernel, and the
+    returned MGConfig records BOTH the fusion and the coarse dtype. Manual
+    knobs and interpret mode never reach the reduced build."""
+    from cfd_tpu.kernels.whole_solve import auto_whole_solve
+
+    cfg = M.MGConfig()
+    built = object()
+    reduced = object()
+    fell_back = object()
+
+    def reject():
+        raise ValueError("mg whole-solve VMEM estimate too large")
+
+    # f32 rejects -> bf16 fused wins, config records whole_solve + bf16.
+    solve, out = auto_whole_solve(cfg, None, False, reject, lambda: fell_back,
+                                  build_reduced=lambda: reduced)
+    assert solve is reduced
+    assert out.whole_solve and out.coarse_dtype == "bfloat16"
+
+    # Both fused builds reject -> per-kernel fallback, config unchanged.
+    solve, out = auto_whole_solve(cfg, None, False, reject, lambda: fell_back,
+                                  build_reduced=reject)
+    assert solve is fell_back and not out.whole_solve
+    assert out.coarse_dtype is None
+
+    # f32 build succeeds -> reduced never consulted.
+    solve, out = auto_whole_solve(cfg, None, False, lambda: built,
+                                  lambda: fell_back,
+                                  build_reduced=lambda: reduced)
+    assert solve is built and out.coarse_dtype is None
+
+    # Manual fusion knob / interpret mode -> straight to fallback, the
+    # reduced build is not silently auto-applied against an explicit ask.
+    for kwargs in ({"mg_overrides": {"whole_solve": False}, "interp": False},
+                   {"mg_overrides": None, "interp": True}):
+        solve, out = auto_whole_solve(cfg, kwargs["mg_overrides"],
+                                      kwargs["interp"], reject,
+                                      lambda: fell_back,
+                                      build_reduced=lambda: reduced)
+        assert solve is fell_back and not out.whole_solve
