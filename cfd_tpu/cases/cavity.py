@@ -40,6 +40,9 @@ def make_cavity_case(
     layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
     mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
     forcing: tuple | None = None,  # (fx, fy) body-force arrays on u/v faces
+    fuse_pre: bool = True,  # fold cycle 1's pre-smooth into the carry
+    # kernel on the per-kernel quad path (round-5 headline fusion;
+    # False = the round-4 composition, for A/B)
 ) -> Case:
     ensure_dtype_enabled(dtype)
     # systematic constructor checks (cavity-01.cpp:417-425 made runtime)
@@ -113,6 +116,7 @@ def make_cavity_case(
     adaptive_carry_builder = None
     whole_step_kernel = None
     use_quad = False
+    carry_fused_pre = False
     import numpy as _np
     import jax as _jax
 
@@ -232,6 +236,34 @@ def make_cavity_case(
             if not mg.whole_solve:
                 mg = mg_fb  # reflect the fallback's actual config
 
+            carry_fused_pre = False
+            solve_plain = solve  # the adaptive builders keep the 3-arg solve
+            if fuse_pre and not mg.whole_solve and not mg.whole_step:
+                # Round-5 headline fusion: on the per-kernel fallback path
+                # (whole_solve VMEM/toolchain-rejected — the 2048^2+
+                # headline sizes) the carry kernel also runs the first
+                # V-cycle's pre-smooth+residual+restriction, removing the
+                # pre kernel's 52 MB level-0 HBM round trip at the
+                # steady-state 1.0 cycles/step (kernels.quad
+                # make_quad_corr_predictor_source_fused_pre; solve starts
+                # at the coarse stage, multigrid quad_first_rc).
+                from cfd_tpu.kernels.quad import (
+                    make_quad_corr_predictor_source_fused_pre,
+                )
+
+                step_kernels = (
+                    make_quad_corr_predictor_source_fused_pre(
+                        grid.shape, problem, coeffs, mg.omega,
+                        mg.pre_sweeps, coarse_shape, lid_velocity,
+                        interpret=interp),
+                    corr,
+                )
+                solve = make_multigrid_poisson(
+                    problem, mg, dtype=dtype, aligned_io=True,
+                    use_pallas=True, pallas_interpret=interp,
+                    quad_level0=quad_l0, quad_first_rc=True)
+                carry_fused_pre = True
+
             # Tentative-state boundary converters: the carried u/v are the
             # TENTATIVE (u*, v*) fields; the logical state applies the
             # corrector (unalign) / its exact inverse (align, resume path —
@@ -267,7 +299,7 @@ def make_cavity_case(
 
                 def step(state, dt):
                     us, vs, b, max_b = pred_a(dt, state.u, state.v)
-                    p, iters, res = solve(state.p_prev, b, max_b)
+                    p, iters, res = solve_plain(state.p_prev, b, max_b)
                     u2, v2, guess = corr_a(dt, us, vs, p, state.p)
                     co_per_dt = (jnp.max(jnp.abs(u2)) * idx_
                                  + jnp.max(jnp.abs(v2)) * idy_)
@@ -313,7 +345,7 @@ def make_cavity_case(
                     us2, vs2, b, guess, max_b, mu, mv = fused_a(
                         (dt_corr, dt_pred), state.u, state.v, state.p,
                         state.p_prev)
-                    p, iters, res = solve(guess, b, max_b)
+                    p, iters, res = solve_plain(guess, b, max_b)
                     co_per_dt = mu * idx_ + mv * idy_
                     return (State(us2, vs2, p, state.T, state.p),
                             StepDiagnostics(iters, res), co_per_dt)
@@ -398,6 +430,7 @@ def make_cavity_case(
         whole_step_kernel=whole_step_kernel,
         forcing=forcing,
         carry_tentative=use_quad,
+        carry_fused_pre=carry_fused_pre,
         align_state=align_state,
         unalign_state=unalign_state,
         adaptive_impl=adaptive_builder,

@@ -160,6 +160,30 @@ def _smooth_pairs(lv, p, b, n_pairs, omega, wE, wW, wN, wS,
     return p
 
 
+def _solid_fill(lv, e, wE, wW, wN, wS):
+    """In-kernel twin of multigrid._solid_fill: Neumann-extend a masked
+    level's correction into solid cells (average of fluid 4-neighbors)
+    before the mask-blind bilinear prolongation matmuls.  Fixes the
+    compounding near-wall under-correction that was the barely-contracting
+    masked mode (see multigrid._solid_fill for the measured factors).
+    Rolls wrap into dead/ghost cells whose fluid indicator is 0, so
+    wraparound never contaminates the fill."""
+    H, W = lv.shape
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    geom = (jj >= 1) & (jj <= lv.ny) & (ii >= 1) & (ii <= lv.nx)
+    denom = lv.idx2 * (wE + wW) + lv.idy2 * (wN + wS)
+    fluid = geom & (jnp.broadcast_to(denom, (H, W)) > 0)
+    f = fluid.astype(e.dtype)
+    ef = e * f
+    num = (jnp.roll(ef, -1, axis=1) + jnp.roll(ef, 1, axis=1)
+           + jnp.roll(ef, -1, axis=0) + jnp.roll(ef, 1, axis=0))
+    den = (jnp.roll(f, -1, axis=1) + jnp.roll(f, 1, axis=1)
+           + jnp.roll(f, -1, axis=0) + jnp.roll(f, 1, axis=0))
+    fill = num / jnp.maximum(den, jnp.ones_like(den))
+    return jnp.where(geom & ~fluid & (den > 0), fill.astype(e.dtype), e)
+
+
 def _residual(lv, p, b, interior, wE, wW, wN, wS):
     pE = jnp.roll(p, -1, axis=1)
     pW = jnp.roll(p, 1, axis=1)
@@ -274,6 +298,8 @@ def run_tail_vcycle(levels, b0, getc, w_idx, t_idx, m_idx,
         wE, wW, wN, wS = weights(k)
         interior, red, black, inv_diag = _lv_masks_invdiag(
             lv, wE, wW, wN, wS)
+        if not levels[k + 1].separable:
+            e = _solid_fill(levels[k + 1], e, *weights(k + 1))
         Pr, Pc = f32(getc(t_idx[k] + 2)), f32(getc(t_idx[k] + 3))
         ef = _dot(_dot(Pr, e), Pc)
         p = f32(ps[k]) + jnp.where(interior, ef, jnp.zeros_like(ef))

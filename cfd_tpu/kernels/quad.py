@@ -982,6 +982,83 @@ def make_quad_corr_predictor_source(shape, coeffs, lid_velocity: float = 1.0,
     return call
 
 
+def make_quad_corr_predictor_source_fused_pre(shape, problem, coeffs,
+                                              omega: float, n_pairs: int,
+                                              coarse_shape: tuple[int, int],
+                                              lid_velocity: float = 1.0,
+                                              tile_rows: int = 128,
+                                              interpret: bool = False):
+    """The round-5 headline fusion: the tentative-carry cavity stage WITH
+    the first V-cycle's pre-smooth + residual + restriction folded in —
+    (us, vs, p, p_prev) -> (us', vs', b', p1, rc, max|b'|).
+
+    At the 2048^2 headline the solver runs 1.0 V-cycles/step steady-state
+    (extrapolated warm start), so the per-kernel composition's separate
+    pre kernel re-reads the guess and b this kernel just produced — a full
+    52 MB level-0 HBM round trip per step whose inputs were ALREADY in
+    VMEM here. Folding it in removes that pass entirely: the guess
+    (2p - p_prev) never exists in HBM, smoothing runs on it in-slab, and
+    the kernel emits the pre-smoothed iterate ``p1`` plus the restricted
+    residual ``rc`` for the coarse levels. The tolerance loop's first
+    cycle then starts at the coarse stage
+    (make_multigrid_poisson(first_cycle_rc=True)); cycles >= 2 (startup
+    transient only) use the regular pre kernel. Only the per-kernel
+    fallback path uses this — at whole_solve sizes the fused solve already
+    owns the V-cycle (cases/cavity.py gating).
+
+    Stencil radius: carry stages 5 (see make_quad_corr_predictor_source)
+    + 2*n_pairs half-sweeps + residual 1 + restriction roll 1; halo is
+    rounded up to cover it (16 at the V(2,1) default)."""
+    H, Wp = shape
+    ny, nx = H - 2, Wp - 2
+    nyc, nxc = ny // 2, nx // 2
+    Hq, Wq, Hq8, Wqa = quad_dims(shape)
+    assert coarse_shape == (Hq8, Wqa), (coarse_shape, (Hq8, Wqa))
+    idx2 = 1.0 / (problem.dx * problem.dx)
+    idy2 = 1.0 / (problem.dy * problem.dy)
+    wEc, wWc, wNc, wSc = _plane_weight_vectors(problem, shape)
+    carry = cavity_carry_compute(shape, coeffs, lid_velocity)
+    CARRY_RADIUS = 5  # corrector + ghost BCs + predictor + source rows
+
+    def compute(s, qins, fin, consts):
+        [us2, vs2, b, guess], _, sarr = carry(s, qins, None, ())
+        slab, W = b[0].shape
+        sv = pl.multiple_of(s.astype(jnp.int32), 8)
+        wE = [consts[0][:], consts[1][:]]
+        wW = [consts[2][:], consts[3][:]]
+        wNs = [consts[4][pl.ds(sv, slab), :], consts[5][pl.ds(sv, slab), :]]
+        wSs = [consts[6][pl.ds(sv, slab), :], consts[7][pl.ds(sv, slab), :]]
+        grow, gcol = _qiota(s, slab, W)
+        masks = [(g >= 1) & (g <= ny) & (c >= 1) & (c <= nx)
+                 for g, c in zip(grow, gcol)]
+        band = _band_maker(s, slab, W, ny)
+        # b carries the carry stages' slab-edge staleness: every smoothing
+        # band starts CARRY_RADIUS rows further in than the plain pre
+        # kernel's (same shrink bookkeeping otherwise)
+        p1 = _smooth_pairs_quad(guess, b, n_pairs, omega, idx2, idy2,
+                                wE, wW, wNs, wSs, masks,
+                                lambda lo: band(CARRY_RADIUS + lo))
+        r = _residual_quad(p1, b, idx2, idy2, wE, wW, wNs, wSs, masks)
+        rc = 0.25 * (r[0]
+                     + jnp.roll(r[1], 1, axis=1)
+                     + jnp.roll(r[2], 1, axis=0)
+                     + jnp.roll(jnp.roll(r[3], 1, axis=0), 1, axis=1))
+        Jc = s + jax.lax.broadcasted_iota(jnp.int32, (slab, W), 0)
+        Ic = jax.lax.broadcasted_iota(jnp.int32, (slab, W), 1)
+        cmask = (Jc >= 1) & (Jc <= nyc) & (Ic >= 1) & (Ic <= nxc)
+        rc = jnp.where(cmask, rc, jnp.zeros_like(rc))
+        return [us2, vs2, b, p1], rc, sarr
+
+    halo = _round_up(CARRY_RADIUS + 2 * n_pairs + 3, 8)
+    call, _ = _make_quad_slab_kernel(
+        shape, n_qin=4, n_qout=4, compute=compute, tile_rows=tile_rows,
+        interpret=interpret, halo=halo, flat_out_shape=coarse_shape,
+        scalar_reduce="max",
+        const_inputs=(*wEc, *wWc, *wNc, *wSc),
+        vmem_bytes_per_cell=440)
+    return call
+
+
 def cavity_carry_compute(shape, coeffs, lid_velocity: float = 1.0,
                          traced_dt: bool = False,
                          emit_courant: bool = False):

@@ -54,6 +54,7 @@ from cfd_tpu.kernels.mg_tail import (
     _lv_masks_invdiag,
     _ref_bytes,
     _residual as _tail_residual,
+    _solid_fill,
     build_tail_consts,
     run_tail_vcycle,
     tail_consts_bytes,
@@ -396,7 +397,15 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
                 ec = jnp.clip(raw, 1.0, 1.5) * ec
 
             # --- prolongation on FLUID cells + exact post + tolerance
-            # residual (the kernels.step_quad post compute at s=0)
+            # residual (the kernels.step_quad post compute at s=0).
+            # Neumann-extend the correction into level-1 solid cells first
+            # (mg_tail._solid_fill) — the bilinear stencil is mask-blind
+            # and would damp the near-wall correction every cycle (the
+            # barely-contracting masked mode; multigrid._solid_fill).
+            lv1 = levels[0]
+            w1 = tuple(getc(w_idx[0] + i).astype(jnp.float32)
+                       for i in range(4))
+            ec = _solid_fill(lv1, ec, *w1)
             corr = _bilinear_corr(ec, Jc, Ic, nyc, nxc)
             p = [jnp.where(fluid[q], p[q] + corr[q], p[q])
                  for q in range(4)]
@@ -415,10 +424,37 @@ def masked_vcycle_ctx(grid, coeffs, cfg: MGConfig):
     return consts, est_fixed, (Hq8, Wqa), make_vcycle
 
 
+# Probe-derived toolchain ceiling (tools/ws2048_probe.py, round 5): the
+# fused whole-solve program compiles and runs at every production secondary
+# size — largest measured-good is channel/RB 1536x512 = 4*264*896 = 946,176
+# padded quad plane cells — but at 2048^2 cavity (4*1032*1152 = 4,755,456
+# cells, reachable only via the bf16 in-VMEM hierarchy; the f32 sizing
+# VMEM-rejects first) the axon `tpu_compile_helper` subprocess crashes
+# (HTTP 500, exit 1) — the same toolchain failure that caps whole_step at
+# 512^2 (kernels/whole_step.py). The boundary between 946k and 4.76M cells
+# is unprobed and no bench size sits there; enforce the measured-good
+# maximum. Interpret mode has no toolchain and no ceiling;
+# CFD_TPU_WHOLE_SOLVE_NO_CEILING=1 bypasses the check when the toolchain
+# moves (re-probe with tools/ws2048_probe.py).
+WHOLE_SOLVE_MAX_PADDED_CELLS = 946_176
+
+
 def _solve_from_ctx(ctx, cfg: MGConfig, what: str, interpret: bool):
     """Wrap a vcycle context into the single-call solve: (p4, b4, tol) ->
     (p4, (cycles, res))."""
+    import os
+
     consts, est_fixed, plane_shape, make_vcycle = ctx
+    padded_cells = 4 * plane_shape[0] * plane_shape[1]
+    if (not interpret and padded_cells > WHOLE_SOLVE_MAX_PADDED_CELLS
+            and not os.environ.get("CFD_TPU_WHOLE_SOLVE_NO_CEILING")):
+        raise ValueError(
+            f"whole_solve at {what} has {padded_cells} padded quad plane "
+            f"cells > the probed toolchain ceiling "
+            f"{WHOLE_SOLVE_MAX_PADDED_CELLS} (the fused program crashes the "
+            "TPU compile helper at 2048^2, tools/ws2048_probe.py) — use the "
+            "per-kernel quad path, or set CFD_TPU_WHOLE_SOLVE_NO_CEILING=1 "
+            "after re-probing")
     # VMEM estimate: finest quad p (in + carry + out) and b + the context's
     # fixed footprint (coarse levels + constants), lane padding accounted.
     qfield = 4 * _ref_bytes(plane_shape)

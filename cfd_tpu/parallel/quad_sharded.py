@@ -566,6 +566,29 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
             gp, ((jy * P).astype(jnp.int32), jnp.asarray(0, jnp.int32)),
             loc)
 
+    def l1_solid_fill(e, jy):
+        """Local-block twin of multigrid._solid_fill: Neumann-extend the
+        level-1 correction into solid cells (fluid-4-neighbor average)
+        before the post kernel's mask-blind in-kernel 1->0 prolongation —
+        the fix for the barely-contracting masked near-wall mode (see
+        multigrid._solid_fill for the measured factors).  Requires fresh
+        halos; the outermost halo row reads outside the block, so callers
+        refresh again afterwards."""
+        interior, _, _, _, _, _, _, _ = l1_geom(jy)  # fluid cells only
+        lr = lax.broadcasted_iota(jnp.int32, loc, 0)
+        lc = lax.broadcasted_iota(jnp.int32, loc, 1)
+        gj = jy * P - DEV_HALO + lr
+        geo = (gj >= 1) & (gj <= ny1) & (lc >= 1) & (lc <= nx1)
+        f = interior.astype(e.dtype)
+        ef = e * f
+        num = (M._sh(ef, 0, 1) + M._sh(ef, 0, -1)
+               + M._sh(ef, 1, 0) + M._sh(ef, -1, 0))
+        den = (M._sh(f, 0, 1) + M._sh(f, 0, -1)
+               + M._sh(f, 1, 0) + M._sh(f, -1, 0))
+        fill = num / jnp.maximum(den, jnp.ones_like(den))
+        return jnp.where(geo & ~interior & (den > 0), fill.astype(e.dtype),
+                         e)
+
     def l1_solve(rc, jy):
         """Level-1 correction for the fresh-haloed local source rc: one
         red/black pair + residual (3 halo rows consumed), coarse switch at
@@ -615,7 +638,9 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
                 # source; only the tail below it runs replicated
                 rc = rr(rc)
                 ec = l1_solve(rc, jy)
-                ec = rr(ec)
+                # solid-fill needs fresh halos and invalidates the
+                # outermost halo row — refresh around it
+                ec = rr(l1_solid_fill(rr(ec), jy))
             else:
                 # grids too small to coarsen twice: defect-correction
                 # coarse switch at level 1 — gather own rows of the
@@ -628,7 +653,9 @@ def make_sharded_masked_step_solve(grid, coeffs, cfg: M.MGConfig,
                 rc_g = lax.slice_in_dim(rc_g, 0, Hq8, axis=0)
                 ec_g = cvcycle(0, jnp.zeros(levels[0].shape,
                                             dtype=rc_g.dtype), rc_g)
-                ec = slice_local(ec_g, jy)
+                # solid-fill before the post kernel's mask-blind in-kernel
+                # prolongation (global array: no halo bookkeeping needed)
+                ec = slice_local(M._solid_fill(levels[0], ec_g), jy)
             p, part = post(rb, p, b, ec)
             p = rr(p)
             return p, gmax(part).astype(dtype_), res, it + 1

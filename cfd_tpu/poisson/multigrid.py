@@ -314,13 +314,48 @@ def _restrict(fine: _Level, coarse: _Level, r):
     return out.at[1 : ny_c + 1, 1 : nx_c + 1].set(rc)
 
 
+def _solid_fill(coarse: _Level, e):
+    """Neumann-extend the coarse correction into solid cells before
+    prolongation (masked hierarchies only): replace each solid interior
+    cell's value with the average of its FLUID 4-neighbors.
+
+    Without this, the mask-blind bilinear stencil below interpolates
+    wall-adjacent fine fluid children from solid coarse cells whose
+    correction is identically 0 (the smoother masks them out), damping the
+    near-wall correction by up to 4/16 every level.  That under-correction
+    compounds per level and was THE barely-contracting masked mode
+    (BASELINE.md round-4 step rows): measured V(1,2) factors at 256x32
+    go 0.47-oscillating -> 0.31-monotone with the fill (V(2,2): 0.36 ->
+    0.21).  The fill mirrors the exact fine operator's own ghost
+    semantics — solid-cell pressure = average of fluid neighbors
+    (/root/reference/backwards_step-01.cpp:708-739) — so the two
+    operators of the defect correction finally agree about what a
+    correction means next to a wall."""
+    ny = coarse.ny if coarse.ny >= 0 else coarse.shape[0] - 2
+    nx = coarse.nx if coarse.nx >= 0 else coarse.shape[1] - 2
+    jj = jax.lax.broadcasted_iota(jnp.int32, coarse.shape, 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, coarse.shape, 1)
+    geom = (jj >= 1) & (jj <= ny) & (ii >= 1) & (ii <= nx)
+    denom = (coarse.idx2 * (coarse.wE + coarse.wW)
+             + coarse.idy2 * (coarse.wN + coarse.wS))
+    fluid = geom & (jnp.broadcast_to(denom, coarse.shape) > 0)
+    f = fluid.astype(e.dtype)
+    ef = e * f
+    num = _sh(ef, 0, 1) + _sh(ef, 0, -1) + _sh(ef, 1, 0) + _sh(ef, -1, 0)
+    den = _sh(f, 0, 1) + _sh(f, 0, -1) + _sh(f, 1, 0) + _sh(f, -1, 0)
+    fill = num / jnp.maximum(den, jnp.ones_like(den))
+    return jnp.where(geom & ~fluid & (den > 0), fill.astype(e.dtype), e)
+
+
 def _prolong(coarse: _Level, fine: _Level, e):
     """Bilinear (cell-centered 9-3-3-1) interpolation of the coarse
     correction. Piecewise-constant transfer violates the transfer-order rule
     (prolongation+restriction order must exceed the PDE order) and caps the
     V-cycle at ~0.86/cycle; bilinear restores mesh-independent rates.
     Boundary ghosts are edge-extrapolated (Neumann in the correction), which
-    post-smoothing localizes to O(h) boundary error per cycle.
+    post-smoothing localizes to O(h) boundary error per cycle.  Masked
+    (non-separable) hierarchies first Neumann-extend the correction into
+    solid cells (see _solid_fill).
 
     Implementation note: the stack+reshape interleave below costs ~105 us of
     layout copies per call at 2048^2, but it is the best known lowering —
@@ -328,6 +363,8 @@ def _prolong(coarse: _Level, fine: _Level, e):
     [1,3,3,1]/4 x [1,3,3,1]/4 kernel) is mathematically identical yet
     lowers catastrophically on this TPU (measured 14 steps/s vs 745 for the
     whole solver), and a plain reshape-to-(ny_c,2,nx_c,2) costs ~3 ms."""
+    if not coarse.separable:
+        e = _solid_fill(coarse, e)
     ny_c = coarse.ny if coarse.ny >= 0 else coarse.shape[0] - 2
     nx_c = coarse.nx if coarse.nx >= 0 else coarse.shape[1] - 2
     ny_f = fine.ny if fine.ny >= 0 else fine.shape[0] - 2
@@ -533,8 +570,17 @@ def make_multigrid_poisson(
     aligned_io: bool = False,
     pallas_interpret: bool = False,
     quad_level0: tuple[Callable, Callable] | None = None,
+    quad_first_rc: bool = False,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Returns solve(p_warm, b) -> (p, cycles, residual_inf).
+
+    ``quad_first_rc`` (requires ``quad_level0``, pin_mean=False): the
+    caller's fused carry kernel already ran the FIRST cycle's pre-smooth +
+    residual + restriction (kernels.quad
+    make_quad_corr_predictor_source_fused_pre); solve's signature becomes
+    ``solve(p1, b, rc0, max_b=None)`` and the tolerance loop's first
+    iteration starts at the coarse stage with ``rc0`` (cycles >= 2 use the
+    regular pre kernel).
 
     ``aligned_io``: solve() takes/returns the finest-level arrays in the
     Mosaic-aligned layout (round_up(ny+2,8) x round_up(nx+2,128), zeros
@@ -726,6 +772,24 @@ def make_multigrid_poisson(
         smooth0 = lambda p, b, n: smooth_pair(top, p, b, n, level_idx=0)
         residual0 = lambda p, b: _residual(top, p, b)
 
+    def quad_coarse_and_post(p, b, rc):
+        """Coarse correction + fused post for the quad level 0, given the
+        restricted residual (from pre_quad, or the fused carry kernel when
+        quad_first_rc)."""
+        post_quad = quad_level0[1]
+        rc_shape = rc.shape
+        if coarse_dt is not None:
+            # bf16 level 1 is 16-row aligned — pad the quad kernel's
+            # 8-aligned rc out and slice ec back (one fused cast+pad
+            # pass each way; the quad kernels themselves stay f32)
+            H1, W1 = levels[1].shape
+            rc = jnp.pad(rc, ((0, H1 - rc_shape[0]),
+                              (0, W1 - rc_shape[1]))).astype(coarse_dt)
+        ec = vcycle(1, jnp.zeros(levels[1].shape, dtype=rc.dtype), rc)
+        if coarse_dt is not None:
+            ec = ec[:rc_shape[0], :rc_shape[1]].astype(b.dtype)
+        return post_quad(p, b, ec)
+
     def vcycle(k: int, p, b):
         level = levels[k]
         if fused_tail is not None and k == tail_from:
@@ -735,18 +799,7 @@ def make_multigrid_poisson(
         if k == 0 and quad_level0 is not None:
             pre_quad, post_quad = quad_level0
             p, rc = pre_quad(p, b)
-            rc_shape = rc.shape
-            if coarse_dt is not None:
-                # bf16 level 1 is 16-row aligned — pad the quad kernel's
-                # 8-aligned rc out and slice ec back (one fused cast+pad
-                # pass each way; the quad kernels themselves stay f32)
-                H1, W1 = levels[1].shape
-                rc = jnp.pad(rc, ((0, H1 - rc_shape[0]),
-                                  (0, W1 - rc_shape[1]))).astype(coarse_dt)
-            ec = vcycle(1, jnp.zeros(levels[1].shape, dtype=rc.dtype), rc)
-            if coarse_dt is not None:
-                ec = ec[:rc_shape[0], :rc_shape[1]].astype(b.dtype)
-            return post_quad(p, b, ec)  # (p, residual_inf) fused
+            return quad_coarse_and_post(p, b, rc)  # (p, residual_inf) fused
         if k == 0:
             if pallas_pre0_field is not None:
                 p, r = pallas_pre0_field(p, b)
@@ -831,6 +884,45 @@ def make_multigrid_poisson(
         init = (p0, big / 2, big, jnp.asarray(0, jnp.int32))
         p, res, _, iters = jax.lax.while_loop(cond, body, init)
         return p, iters, res
+
+    if quad_first_rc:
+        if quad_level0 is None or cfg.pin_mean:
+            raise ValueError("quad_first_rc requires quad_level0 and "
+                             "pin_mean=False (the fused carry kernel owns "
+                             "the first pre-smooth)")
+
+        def solve_rc(p1, b, rc0, max_b=None):
+            """First-cycle pre-smooth + restriction already done by the
+            caller's fused carry kernel: cycle 1 starts at the coarse
+            stage with ``rc0``; cycles >= 2 run the regular pre kernel."""
+            dtype_ = b.dtype
+            if max_b is None:
+                max_b = jnp.max(jnp.abs(b))
+            tol = jnp.maximum(
+                cfg.tol_factor * jnp.where(max_b > 0, max_b,
+                                           jnp.ones_like(max_b)),
+                jnp.asarray(cfg.abs_tol, dtype_))
+            pre_quad = quad_level0[0]
+
+            def cond(carry):
+                _, res, prev, it = carry
+                return ((res > tol) & (it < cfg.max_cycles)
+                        & (res < cfg.stall_ratio * prev))
+
+            def body(carry):
+                p, res, _, it = carry
+                p, rc = jax.lax.cond(it == 0,
+                                     lambda p: (p, rc0),
+                                     lambda p: pre_quad(p, b), p)
+                p, new_res = quad_coarse_and_post(p, b, rc)
+                return p, new_res.astype(dtype_), res, it + 1
+
+            big = jnp.asarray(1e30, dtype_)
+            init = (p1, big / 2, big, jnp.asarray(0, jnp.int32))
+            p, res, _, iters = jax.lax.while_loop(cond, body, init)
+            return p, iters, res
+
+        return solve_rc
 
     return solve
 
@@ -1075,7 +1167,10 @@ def make_masked_quad_multigrid_poisson(grid, coeffs, cfg: MGConfig,
                 # GLOBAL level 1): line-search the correction amplitude —
                 # see the MGConfig.corr_opt docstring
                 ec = _corr_alpha(levels[0], rc, ec) * ec
-            p, new_res = post(p, b, ec)
+            # the post kernel's in-kernel 1->0 prolongation is mask-blind;
+            # Neumann-extend the correction into solid cells here (the
+            # k>=1 transitions go through _prolong, which self-fills)
+            p, new_res = post(p, b, _solid_fill(levels[0], ec))
             return p, new_res.astype(dtype_), res, it + 1
 
         big = jnp.asarray(1e30, dtype_)

@@ -89,6 +89,13 @@ class Case:
     # at the START of each step — the corrected u/v never exist in HBM on
     # the hot path (unalign_state recomputes them for stats/export).
     carry_tentative: bool = False
+    # Round-5 headline fusion (cavity per-kernel quad path only): the carry
+    # kernel also runs the FIRST V-cycle's pre-smooth+residual+restriction
+    # (kernels.quad make_quad_corr_predictor_source_fused_pre) and
+    # poisson_solve has the quad_first_rc signature
+    # solve(p1, b, rc0, max_b) — at 1.0 cycles/step steady state this
+    # removes the pre kernel's full level-0 HBM round trip from the step.
+    carry_fused_pre: bool = False
     # With step_kernels the state is carried in the Mosaic-ALIGNED layout
     # (rows rounded to 8, cols to 128, zeros beyond the logical grid) across
     # the whole scan — align_state/unalign_state convert at the boundaries
@@ -199,6 +206,17 @@ def make_step(case: Case) -> Callable[[State], tuple[State, StepDiagnostics]]:
                     us2, vs2, p, iters, res = ws(state.u, state.v, state.p)
                     return State(us2, vs2, p, state.T, None), \
                         StepDiagnostics(iters, res)
+
+        elif case.ordering == "cavity" and case.carry_fused_pre:
+
+            def step(state: State) -> tuple[State, StepDiagnostics]:
+                # carry + the first cycle's pre-smooth/residual/restrict in
+                # ONE kernel; the solve starts at the coarse stage
+                us2, vs2, b, p1, rc, max_b = fused(
+                    state.u, state.v, state.p, state.p_prev)
+                p, iters, res = case.poisson_solve(p1, b, rc, max_b)
+                return State(us2, vs2, p, state.T, state.p), \
+                    StepDiagnostics(iters, res)
 
         elif case.ordering == "cavity":
 

@@ -405,3 +405,35 @@ def test_quad_channel_fused_corr_predictor_matches_split_kernels():
     np.testing.assert_allclose(np.asarray(guess), np.asarray(guess_ref),
                                atol=2e-6)
     assert abs(float(sum_b) - float(sumb_ref)) < 2e-3 * max(abs(float(sumb_ref)), 1.0)
+
+
+def test_fused_pre_carry_matches_plain_composition():
+    """Round-5 headline fusion: the carry kernel with the first V-cycle's
+    pre-smooth+residual+restriction folded in
+    (make_quad_corr_predictor_source_fused_pre + multigrid quad_first_rc)
+    reproduces the plain carry + per-kernel solve BITWISE in interpret
+    mode — identical cycle counts and fields over a 5-step trajectory
+    (same jnp ops in the same order, only kernel boundaries move)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd_tpu.cases.cavity import make_cavity_case
+    from cfd_tpu.solver import Simulation, make_step
+
+    kw = dict(n_interior=64, poisson="multigrid", dtype=jnp.float32,
+              tolerance_factor=1e-5, step_kernel_mode="interpret",
+              layout="quad")
+    ca = make_cavity_case(fuse_pre=True, **kw)
+    cb = make_cavity_case(fuse_pre=False, **kw)
+    assert ca.carry_fused_pre and not cb.carry_fused_pre
+    sa = Simulation(ca, log=lambda *a: None)
+    sb = Simulation(cb, log=lambda *a: None)
+    st_a, st_b = sa.initial_state(), sb.initial_state()
+    step_a, step_b = make_step(ca), make_step(cb)
+    for _ in range(5):
+        st_a, da = step_a(st_a)
+        st_b, db = step_b(st_b)
+        assert int(da.poisson_iters) == int(db.poisson_iters)
+        assert float(jnp.max(jnp.abs(st_a.p - st_b.p))) == 0.0
+        assert float(jnp.max(jnp.abs(st_a.u - st_b.u))) == 0.0
+        assert float(jnp.max(jnp.abs(st_a.v - st_b.v))) == 0.0

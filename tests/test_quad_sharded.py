@@ -21,8 +21,17 @@ def cpu_mesh_1d(n: int) -> Mesh:
 
 
 def make_case(n):
+    # tolerance 1e-5: REACHABLE in f32, so every solve converges BY
+    # TOLERANCE and cycle counts are deterministic. At the default 1e-9
+    # every f32 solve floor-terminates via the stall exit, where a 1-ulp
+    # cross-program difference (XLA version / FMA contraction) flips
+    # counts by 2+ — measured drifting across toolchain updates with NO
+    # repo change (round 5: [10,8,5] vs [8,8,6] at the round-4 commit).
+    # fuse_pre=False: the sharded path has no fused-pre carry; compare
+    # like-for-like per-kernel compositions.
     return make_cavity_case(n_interior=n, dtype=jnp.float32,
-                            poisson="multigrid",
+                            poisson="multigrid", tolerance_factor=1e-5,
+                            fuse_pre=False,
                             step_kernel_mode="interpret", layout="quad")
 
 
@@ -65,7 +74,8 @@ def test_sharded_quad_matches_single_device(n, mdy, steps):
         single_iters.append(int(d.poisson_iters))
     ref = sim._logical(st)
 
-    sq = ShardedQuadCavity(case, cpu_mesh_1d(mdy), interpret=True)
+    sq = ShardedQuadCavity(case, cpu_mesh_1d(mdy), interpret=True,
+                           tol_factor=1e-5)
     state = sq.initial_state()
     shard_iters = []
     for _ in range(steps):
@@ -162,10 +172,18 @@ def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
     from cfd_tpu.cases import make_channel_case
     from cfd_tpu.parallel.quad_sharded import ShardedQuadProjection
 
+    # tolerance 1e-5: reachable in f32 so both programs converge BY
+    # TOLERANCE with deterministic cycle counts (the 1e-7 floor regime
+    # drifted ±2 across toolchain updates with no repo change — see
+    # make_case above)
+    # no mg_overrides: the channel factory default V(1,2) matches the
+    # sharded builder's channel flavor (1,2) — the stale post_sweeps=1
+    # override made the single side V(1,1) vs the sharded V(1,2), which
+    # the 1e-7 floor regime masked
     case = make_channel_case(nx=nx, ny=ny, dtype=jnp.float32,
-                             poisson="multigrid", tolerance_factor=1e-7,
+                             poisson="multigrid", tolerance_factor=1e-5,
                              abs_tol=0.0, step_kernel_mode="interpret",
-                             layout="quad", mg_overrides={"post_sweeps": 1})
+                             layout="quad")
     sim = Simulation(case, log=lambda *a: None)
     st = sim.initial_state()
     single_iters = []
@@ -175,7 +193,7 @@ def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
     ref = sim._logical(st)
 
     sq = ShardedQuadProjection(case, cpu_mesh_1d(mdy), interpret=True,
-                               tol_factor=1e-7)
+                               tol_factor=1e-5)
     assert sq.flavor == "channel"
     state = sq.initial_state()
     shard_iters = []
@@ -199,7 +217,10 @@ def test_sharded_quad_channel_matches_single_device(nx, ny, mdy, steps):
         # observed diff, bitwise independent of solver tolerance). The
         # single-device kernel's per-tile order and the sharded psum order
         # are just two such roundings; u/v (driven by grad p) hold 2e-5.
-        atol = (3e-4 if name == "p" else 2e-5) * max(
+        # p's factor carries the tolerance-convergence slack on top: at
+        # 1e-5 rel both solves legitimately stop with residual ~tol*|b|
+        # apart (measured 0.0157 vs the 0.0146 mean-roundoff-only bound).
+        atol = (5e-4 if name == "p" else 2e-5) * max(
             1.0, float(np.abs(a).max()))
         np.testing.assert_allclose(b, a, rtol=0, atol=atol, err_msg=name)
 
