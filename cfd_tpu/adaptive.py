@@ -217,7 +217,13 @@ def run_adaptive(sim, max_courant: float = 0.7, n_steps: int | None = None,
     if controller not in ("exact", "lagged"):
         raise ValueError(f"unknown controller: {controller!r}")
     use_carry = controller == "lagged"
-    if getattr(sim, "_engine", None) is not None:
+    engine = getattr(sim, "_engine", None)
+    if engine is not None and getattr(engine, "delegated", False):
+        # 1-device mesh delegation (quad_sharded mdy==1): the engine's state
+        # IS the single-device carry, so the single-device controller
+        # branches below apply unchanged — no sharded adaptive chunk needed
+        engine = None
+    if engine is not None:
         # multi-chip: the sharded quad engine runs the lagged controller
         # (the exact controller's non-carry kernels have no sharded story)
         if not use_carry:

@@ -113,6 +113,34 @@ def _refresh(x, P: int, mdy: int, axis: str):
     return lax.dynamic_update_slice(x, from_north, top)
 
 
+def _refresh_many(arrs, P: int, mdy: int, axis: str):
+    """One ppermute pair for SEVERAL same-shaped extended arrays (the
+    step's us*/vs*/b/guess refresh points): the 8-row strips are stacked
+    along a new leading axis so each direction is ONE collective instead
+    of one per array — on a real ICI ring this cuts the per-step halo
+    latency terms 2k -> 2 at identical byte volume (VERDICT round-4
+    item 5, "fuse the refreshes"). Value-identical to mapping
+    ``_refresh`` (same strips, same permutation); equivalence is pinned
+    by the sharded-vs-single-device trajectory tests."""
+    if mdy == 1:
+        return tuple(arrs)
+    h = DEV_HALO
+    nd = arrs[0].ndim
+
+    def rows(lo, size):
+        sl = [slice(None)] * (nd + 1)
+        sl[-2] = slice(lo, lo + size)
+        return tuple(sl)
+
+    stack = jnp.stack(arrs)
+    from_south = lax.ppermute(stack[rows(P, h)], axis, _shift_perm(mdy, +1))
+    from_north = lax.ppermute(stack[rows(h, h)], axis, _shift_perm(mdy, -1))
+    stack = lax.dynamic_update_slice(stack, from_south, (0,) * (nd + 1))
+    top = (0,) * (nd - 1) + (P + h, 0)  # nd+1 indices: stack adds one dim
+    stack = lax.dynamic_update_slice(stack, from_north, top)
+    return tuple(stack[i] for i in range(len(arrs)))
+
+
 def _row_vec_global(w_full: np.ndarray, ny: int, length: int) -> jnp.ndarray:
     """(length, 1) globally-indexed row vector with a DEV_HALO zero prefix:
     v[DEV_HALO + g] = w_full[g, 1] for padded rows g (0 outside 1..ny)."""
@@ -710,17 +738,20 @@ class ShardedQuadProjection:
     """
 
     # Largest mesh the 1-D plane-row decomposition is validated/modeled
-    # for: tools/comm_model.py puts the parallel efficiency at ~0.5-0.6 by
-    # 8 chips and ~0.32-0.43 at 16 (replicated coarse tail + halo/ICI
-    # time), and Mosaic's 128-lane column-halo granularity makes a 2-D
-    # split unprofitable at the target sizes (PARITY.md). Past this the
-    # factory refuses loudly instead of silently scaling badly.
+    # for: tools/comm_model.py (honest round-5 inputs incl. the measured
+    # sharded-builder bookkeeping efficiency) puts the parallel efficiency
+    # at ~0.38-0.50 by 8 chips and ~0.26-0.36 at 16 (replicated coarse
+    # tail + halo/ICI time + band bookkeeping), and Mosaic's 128-lane
+    # column-halo granularity makes a 2-D split unprofitable at the target
+    # sizes (PARITY.md round-5 final decision). Past this the factory
+    # refuses loudly instead of silently scaling badly.
     MAX_VALIDATED_MESH = 16
 
     def __init__(self, case: Case, mesh, interpret: bool = False,
                  axis: str = "dy", tol_factor: float | None = None,
                  mg_overrides: dict | None = None,
-                 allow_unvalidated_mesh: bool = False):
+                 allow_unvalidated_mesh: bool = False,
+                 force_sharded_path: bool = False):
         from cfd_tpu.poisson.multigrid import (MGConfig, cavity_problem,
                                                channel_problem,
                                                neumann_problem)
@@ -752,11 +783,29 @@ class ShardedQuadProjection:
             raise ValueError(
                 f"{mdy}-way 1-D plane-row decomposition exceeds the "
                 f"validated/modeled bound ({self.MAX_VALIDATED_MESH} chips: "
-                "~0.32-0.43 modeled efficiency at 16, tools/comm_model.py). "
+                "~0.26-0.36 modeled efficiency at 16, tools/comm_model.py). "
                 "Pass allow_unvalidated_mesh=True to proceed anyway.")
         self.mdy = mdy
+        # 1-device fast path (VERDICT round-4 item 5): the sharded program's
+        # band bookkeeping (extended halo rows, traced row_base, where-masked
+        # level-1 bands, replicated coarse tail) measured 21-35% overhead on
+        # a 1-device mesh that never communicates (BASELINE.md round-4
+        # sharded-native row). When the mesh has one device and the caller
+        # passed no sharded-solve knobs, delegate every entry point to the
+        # case's own single-device fast path — the SAME program a meshless
+        # run would execute, so the 1-device mesh is a true fast-path
+        # equivalence point. ``force_sharded_path=True`` (or any explicit
+        # tol_factor/mg_overrides, which configure the SHARDED solve) keeps
+        # the sharded program — that mode remains the native Mosaic lowering
+        # evidence for the sharded kernel variants
+        # (tools/sharded_native_bench.py --force-sharded).
+        self.delegated = (mdy == 1 and not force_sharded_path
+                          and tol_factor is None and not mg_overrides)
         shape = grid.shape
         self.shape = shape
+        if self.delegated:
+            self._init_delegate(case)
+            return
         Hq8s, P, W = quad_shard_dims(shape, mdy)
         self.P, self.W, self.Hq8s = P, W, Hq8s
         coeffs = case.coeffs
@@ -837,6 +886,7 @@ class ShardedQuadProjection:
         self._solve = solve
         self._interpret = interpret
         rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+        rrm = partial(_refresh_many, P=P, mdy=mdy, axis=axis)
         gmax = lambda x: lax.pmax(x, axis)
         n_fluid = grid.n_fluid
         ny_i, nx_i = grid.ny, grid.nx
@@ -851,7 +901,7 @@ class ShardedQuadProjection:
             rb = jy * P - DEV_HALO
             if flavor == "rayleigh_benard":
                 us2, vs2, T2, b, part = fused(rb, us, vs, p, aux)
-                us2, vs2, T2, b = rr(us2), rr(vs2), rr(T2), rr(b)
+                us2, vs2, T2, b = rrm((us2, vs2, T2, b))
                 mean = lax.psum(part, axis) / n_fluid
                 b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
                 max_b = gmax(jnp.max(jnp.abs(b)))
@@ -859,7 +909,7 @@ class ShardedQuadProjection:
                 return us2, vs2, p2, T2, iters, res
             if flavor == "backwards_step":
                 us2, vs2, b, part = fused(rb, us, vs, p)
-                us2, vs2, b = rr(us2), rr(vs2), rr(b)
+                us2, vs2, b = rrm((us2, vs2, b))
                 mean = lax.psum(part, axis) / n_fluid
                 b = _sub_mean_local(b, mean, rb, ny_i, nx_i,
                                     step_rect=step_rect)
@@ -867,7 +917,7 @@ class ShardedQuadProjection:
                 p2, iters, res = solve(p, b, rb, jy, max_b)
                 return us2, vs2, p2, iters, res
             us2, vs2, b, guess, part = fused(rb, us, vs, p, aux)
-            us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
+            us2, vs2, b, guess = rrm((us2, vs2, b, guess))
             if flavor == "cavity":
                 max_b = gmax(part)
             else:
@@ -948,9 +998,46 @@ class ShardedQuadProjection:
     def _put(self, a: np.ndarray):
         return jax.device_put(jnp.asarray(a, jnp.float32), self._sharding)
 
+    # ---------------- 1-device delegation (mdy == 1) ----------------
+
+    def _init_delegate(self, case: Case) -> None:
+        """Build the single-device fast-path entry points (mdy == 1): the
+        state is the case's own carry (the aligned quad State), the step is
+        ``solver.make_step(case)`` — byte-for-byte the program a meshless
+        run executes, so a 1-device mesh pays zero sharding bookkeeping."""
+        from cfd_tpu.solver import make_step
+
+        step_fn = make_step(case)
+        self._sd_step = jax.jit(step_fn)
+
+        def chunk(state, n_steps):
+            def body(s, _):
+                s2, d = step_fn(s)
+                return s2, (d.poisson_iters, d.poisson_residual)
+
+            return lax.scan(body, state, None, length=n_steps)
+
+        self._sd_chunk_cache: dict[int, callable] = {}
+        self._sd_make_chunk = lambda n: jax.jit(partial(chunk, n_steps=n))
+
+    def _delegate_initial_state(self):
+        case = self.case
+        if case.initial_state_fn is not None:
+            return case.initial_state_fn()
+        s = State.zeros(self.shape, dtype=case.dtype)
+        u, v = case.velocity_bc(s.u, s.v)
+        p_prev = s.p if case.extrapolate_warm_start else None
+        st = State(u, v, s.p, s.T, p_prev)
+        if case.align_state is not None:
+            st = case.align_state(st)
+        return st
+
     def initial_state(self):
         """Tentative-carry initial state from the logical zero state (BCs
-        applied), as ``n_carry`` sharded extended-stacked arrays."""
+        applied), as ``n_carry`` sharded extended-stacked arrays (delegated
+        mdy == 1: the case's single-device carry State)."""
+        if self.delegated:
+            return self._delegate_initial_state()
         case = self.case
         if self.flavor == "rayleigh_benard":
             # the factory's initial_state_fn returns the ALIGNED quad
@@ -966,6 +1053,11 @@ class ShardedQuadProjection:
         which store the logical layout with p_prev = previous pressure).
         RB also accepts the factory's ALIGNED quad carry directly."""
         case = self.case
+        if self.delegated:
+            if (case.align_state is not None
+                    and st.u.shape == self.shape):  # logical layout only
+                st = case.align_state(st)
+            return st
         if self.flavor == "rayleigh_benard":
             if st.u.shape == self.shape:  # logical layout -> aligned carry
                 st = case.align_state(st)
@@ -987,11 +1079,20 @@ class ShardedQuadProjection:
         return tuple(self._put(self._extend(q)) for q in qs)
 
     def step(self, state):
+        if self.delegated:
+            st, d = self._sd_step(state)
+            return st, {"poisson_iters": d.poisson_iters,
+                        "poisson_residual": d.poisson_residual}
         out = self._step(*state)
         return tuple(out[: self.n_carry]), {"poisson_iters": out[-2],
                                             "poisson_residual": out[-1]}
 
     def run_chunk(self, state, n_steps: int):
+        if self.delegated:
+            if n_steps not in self._sd_chunk_cache:
+                self._sd_chunk_cache[n_steps] = self._sd_make_chunk(n_steps)
+            st, (iters, res) = self._sd_chunk_cache[n_steps](state)
+            return st, {"poisson_iters": iters, "poisson_residual": res}
         if n_steps not in self._chunk_cache:
             self._chunk_cache[n_steps] = self._make_chunk(n_steps)
         out = self._chunk_cache[n_steps](*state)
@@ -1021,6 +1122,12 @@ class ShardedQuadProjection:
           — the resume/print boundary, reusing the case's single-device
           adaptive converters (Case.adaptive_impl_carry) on the gathered
           global quad arrays."""
+        if self.delegated:
+            raise ValueError(
+                "this 1-device engine delegates to the single-device fast "
+                "path (quad_sharded mdy==1 delegation) — adaptive runs go "
+                "through cfd_tpu.adaptive.run_adaptive, which routes a "
+                "delegated engine to the single-device lagged controller")
         case, flavor = self.case, self.flavor
         if case.adaptive_impl_carry is None:
             raise ValueError("sharded adaptive needs the quad kernel case "
@@ -1058,6 +1165,7 @@ class ShardedQuadProjection:
                 traced_dt=True, emit_courant=True)
         solve = self._solve
         rr = partial(_refresh, P=P, mdy=mdy, axis=axis)
+        rrm = partial(_refresh_many, P=P, mdy=mdy, axis=axis)
         gmax = lambda x: lax.pmax(x, axis)
         n_fluid = grid.n_fluid
         ny_i, nx_i = grid.ny, grid.nx
@@ -1071,7 +1179,7 @@ class ShardedQuadProjection:
                 us, vs, p, T = arrs
                 us2, vs2, T2, b, part, mu, mv = fused_a(
                     rb, (du, d), us, vs, p, T)
-                us2, vs2, T2, b = rr(us2), rr(vs2), rr(T2), rr(b)
+                us2, vs2, T2, b = rrm((us2, vs2, T2, b))
                 mean = lax.psum(part, axis) / n_fluid
                 b = _sub_mean_local(b, mean, rb, ny_i, nx_i)
                 max_b = gmax(jnp.max(jnp.abs(b)))
@@ -1080,7 +1188,7 @@ class ShardedQuadProjection:
             elif flavor == "backwards_step":
                 us, vs, p = arrs
                 us2, vs2, b, part, mu, mv = fused_a(rb, (du, d), us, vs, p)
-                us2, vs2, b = rr(us2), rr(vs2), rr(b)
+                us2, vs2, b = rrm((us2, vs2, b))
                 mean = lax.psum(part, axis) / n_fluid
                 b = _sub_mean_local(b, mean, rb, ny_i, nx_i,
                                     step_rect=step_rect)
@@ -1091,7 +1199,7 @@ class ShardedQuadProjection:
                 us, vs, p, pp = arrs
                 us2, vs2, b, guess, part, mu, mv = fused_a(
                     rb, (du, d), us, vs, p, pp)
-                us2, vs2, b, guess = rr(us2), rr(vs2), rr(b), rr(guess)
+                us2, vs2, b, guess = rrm((us2, vs2, b, guess))
                 if flavor == "cavity":
                     max_b = gmax(part)
                 else:
@@ -1163,6 +1271,12 @@ class ShardedQuadProjection:
         """Gather + correct to the logical padded (ny+2, nx+2) state (the
         tentative carry's unalign: run the corrector on the gathered quad
         arrays)."""
+        if self.delegated:
+            case = self.case
+            if (case.unalign_state is not None
+                    and state.u.shape != self.shape):
+                return case.unalign_state(state)
+            return state
         arrs = [self._collapse(x)[:, : self._Hq8, :] for x in state]
         f = lambda a: from_quad(jnp.asarray(a), self.shape)
         if self.flavor == "rayleigh_benard":

@@ -93,6 +93,11 @@ def main() -> None:
                     help="also time the single-device quad path")
     ap.add_argument("--tol", type=float, default=1e-6,
                     help="relative Poisson tolerance factor")
+    ap.add_argument("--force-sharded", action="store_true",
+                    help="keep the SHARDED program on a 1-device mesh "
+                         "(the native Mosaic lowering-evidence mode; "
+                         "default at --devices 1 is the mdy==1 delegation "
+                         "to the single-device fast path)")
     args = ap.parse_args()
 
     import jax
@@ -110,9 +115,16 @@ def main() -> None:
         raise SystemExit(f"need {args.devices} devices, have {len(devs)}")
     mesh = Mesh(np.array(devs[: args.devices]), ("dy",))
 
-    sq = ShardedQuadProjection(case, mesh, interpret=False,
-                               tol_factor=args.tol,
-                               mg_overrides={"abs_tol": 0.0})
+    if args.devices == 1 and not args.force_sharded:
+        # knob-free construction engages the mdy==1 delegation: the engine
+        # runs the case's own single-device fast path (the factory already
+        # bakes --tol in), so this measures the TRUE 1-device rate
+        sq = ShardedQuadProjection(case, mesh, interpret=False)
+    else:
+        sq = ShardedQuadProjection(case, mesh, interpret=False,
+                                   tol_factor=args.tol,
+                                   mg_overrides={"abs_tol": 0.0},
+                                   force_sharded_path=args.force_sharded)
     state = sq.initial_state()
     t0 = time.perf_counter()
     state, d = sq.run_chunk(state, args.chunk)
@@ -144,6 +156,7 @@ def main() -> None:
         "cycles_per_step": round(cycles, 2),
         "compile_s": round(compile_s, 1),
         "finite": finite,
+        "delegated": bool(getattr(sq, "delegated", False)),
     }
 
     if args.single:
@@ -189,7 +202,8 @@ def main() -> None:
                               mg_overrides=dict(pin))
         sq_chk = ShardedQuadProjection(case_chk, mesh, interpret=False,
                                        tol_factor=args.tol,
-                                       mg_overrides={"abs_tol": 0.0, **pin})
+                                       mg_overrides={"abs_tol": 0.0, **pin},
+                                       force_sharded_path=True)
         sim = Simulation(case_chk, log=lambda *a: None)
         st1 = sim.initial_state()
         it1 = []
