@@ -40,9 +40,16 @@ def make_cavity_case(
     layout: str = "auto",  # "auto" | "quad" | "aligned" (f32 kernel path)
     mg_overrides: dict | None = None,  # MGConfig field overrides (tuning)
     forcing: tuple | None = None,  # (fx, fy) body-force arrays on u/v faces
-    fuse_pre: bool = True,  # fold cycle 1's pre-smooth into the carry
-    # kernel on the per-kernel quad path (round-5 headline fusion;
-    # False = the round-4 composition, for A/B)
+    fuse_pre: bool = False,  # fold cycle 1's pre-smooth into the carry
+    # kernel on the per-kernel quad path. Default OFF: measured SLOWER at
+    # the 2048^2 headline — 1016.0 vs 1222.7 steps/s quiet-machine A/B at
+    # identical 1.0 cycles/step (tools/fused_pre_bench.py, round 5). The
+    # "saved" pre-kernel level-0 round trip was largely riding XLA's
+    # scoped-VMEM staging of the scan carries already, and the enlarged
+    # fused kernel's VMEM footprint displaces exactly that placement (the
+    # same budget trade as the 13/40/110 MB vmem_limit sweep,
+    # BASELINE.md round-2). Kept as an opt-in for re-probing when the
+    # toolchain's VMEM placement moves.
 ) -> Case:
     ensure_dtype_enabled(dtype)
     # systematic constructor checks (cavity-01.cpp:417-425 made runtime)
